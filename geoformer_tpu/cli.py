@@ -1,0 +1,164 @@
+"""GeoFormer-TPU command line: train / eval / bench / infer.
+
+Replaces the reference's per-task entry scripts (reference: eval_Hpatches.py,
+eval_FIRE.py, eval_ISC.py, inference.py, lightning/train_*_geoformer.py) with
+one CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _model_and_params(args):
+    import jax
+
+    from geoformer_tpu.config import (
+        GeoFormerConfig,
+        GeoModuleConfig,
+        MatchConfig,
+    )
+    from geoformer_tpu.models import GeoFormer
+    from geoformer_tpu.train.checkpoint import load_params
+
+    cfg = GeoFormerConfig(
+        match=MatchConfig(thr=args.match_thr, max_matches=args.max_matches),
+        geo=GeoModuleConfig(ransac_iters=args.gam_ransac_iters,
+                            max_inliers=args.gam_max_inliers),
+    )
+    model = GeoFormer(cfg)
+    if args.ckpt:
+        params = {"params": load_params(args.ckpt)}
+        # batch_stats ship inside the pickle when present
+        if "batch_stats" in params["params"]:
+            bs = params["params"].pop("batch_stats")
+            params["batch_stats"] = bs
+    else:
+        import jax.numpy as jnp
+
+        key = jax.random.key(0)
+        img = jnp.zeros((1, 64, 80, 1))
+        params = model.init({"params": key, "ransac": key}, img, img)
+    return cfg, params
+
+
+def cmd_train(args):
+    from geoformer_tpu.config import (
+        GeoFormerConfig,
+        GeoModuleConfig,
+        MatchConfig,
+    )
+    from geoformer_tpu.train.loop import run_training
+
+    model_cfg = GeoFormerConfig(
+        match=MatchConfig(max_matches=args.max_matches, force_one_match=True),
+        geo=GeoModuleConfig(ransac_iters=args.gam_ransac_iters,
+                            max_inliers=args.gam_max_inliers),
+    )
+    run_training(
+        image_dir=args.data,
+        steps=args.steps,
+        batch_size=args.batch,
+        image_hw=(args.height, args.width),
+        ckpt_dir=args.out,
+        log_every=args.log_every,
+        seed=args.seed,
+        model_cfg=model_cfg,
+    )
+
+
+def cmd_eval(args):
+    cfg, params = _model_and_params(args)
+    if args.benchmark == "hpatches":
+        from geoformer_tpu.eval.hpatches import eval_hpatches
+
+        out = eval_hpatches(params, cfg, args.data, imsize=args.imsize,
+                            ransac_thr=args.ransac_thr,
+                            max_seqs=args.max_seqs)
+    elif args.benchmark == "fire":
+        from geoformer_tpu.eval.fire import eval_fire
+
+        out = eval_fire(params, cfg, args.data, imsize=args.imsize or 768,
+                        ransac_thr=args.ransac_thr or 15.0)
+    elif args.benchmark == "isc":
+        from geoformer_tpu.eval.isc import eval_isc
+
+        out = eval_isc(params, cfg, args.data, imsize=args.imsize,
+                       ransac_thr=args.ransac_thr)
+    else:
+        raise SystemExit(f"unknown benchmark {args.benchmark}")
+    print(json.dumps(out, indent=2, default=float))
+
+
+def cmd_infer(args):
+    import numpy as np
+
+    from geoformer_tpu.eval.matcher import BatchedMatcher, load_gray
+
+    # load before model init: fail fast on bad paths, not after a long compile
+    im0, sc0 = load_gray(args.image0, args.imsize)
+    im1, sc1 = load_gray(args.image1, args.imsize)
+    cfg, params = _model_and_params(args)
+    matcher = BatchedMatcher(cfg, params, batch_size=1)
+    t0 = time.time()
+    (mk0, mk1, conf), = matcher.match_batch([im0], [im1])
+    print(f"{len(mk0)} matches in {time.time() - t0:.2f}s")
+    mk0 = mk0 * np.array(sc0)
+    mk1 = mk1 * np.array(sc1)
+    if args.out:
+        np.save(args.out, np.concatenate([mk0, mk1, conf[:, None]], axis=1))
+        print(f"saved -> {args.out}")
+
+
+def main():
+    p = argparse.ArgumentParser("geoformer-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--ckpt", default=None)
+        sp.add_argument("--match-thr", type=float, default=0.2)
+        sp.add_argument("--max-matches", type=int, default=1024)
+        sp.add_argument("--gam-ransac-iters", type=int, default=256)
+        sp.add_argument("--gam-max-inliers", type=int, default=1024)
+        sp.add_argument("--imsize", type=int, default=480)
+
+    t = sub.add_parser("train")
+    t.add_argument("--data", default=None, help="image dir (else procedural)")
+    t.add_argument("--steps", type=int, default=1000)
+    t.add_argument("--batch", type=int, default=8)
+    t.add_argument("--height", type=int, default=480)
+    t.add_argument("--width", type=int, default=640)
+    t.add_argument("--out", default="checkpoints")
+    t.add_argument("--log-every", type=int, default=50)
+    t.add_argument("--seed", type=int, default=66)
+    t.add_argument("--max-matches", type=int, default=512)
+    t.add_argument("--gam-ransac-iters", type=int, default=256)
+    t.add_argument("--gam-max-inliers", type=int, default=512)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval")
+    e.add_argument("benchmark", choices=["hpatches", "fire", "isc"])
+    e.add_argument("--data", required=True)
+    e.add_argument("--ransac-thr", type=float, default=3.0)
+    e.add_argument("--max-seqs", type=int, default=None)
+    common(e)
+    e.set_defaults(fn=cmd_eval)
+
+    i = sub.add_parser("infer")
+    i.add_argument("image0")
+    i.add_argument("image1")
+    i.add_argument("--out", default=None)
+    common(i)
+    i.set_defaults(fn=cmd_infer)
+
+    args = p.parse_args()
+    from geoformer_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

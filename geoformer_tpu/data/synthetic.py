@@ -1,0 +1,135 @@
+"""Self-supervised homography pair pipeline.
+
+TPU-native redesign of HomoDataset (reference: homodataset/HomoDataset.py:
+30-177): the host only supplies base grayscale images (from a directory, or
+procedural textures when no dataset is present); homography sampling, image
+warping, valid masks, photometric augmentation, and the 50% pair swap all run
+on the accelerator inside jit (data/synthetic.make_pair_batch).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import partial
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoformer_tpu.geometry.homography import (
+    grid_points,
+    sample_homography,
+    warp_points,
+)
+from geoformer_tpu.ops.image_warp import warp_image
+
+
+def procedural_texture(rng: np.random.Generator, hw: Tuple[int, int],
+                       n_blobs: int = 60) -> np.ndarray:
+    """Cheap structured grayscale texture: random oriented gaussian blobs +
+    gradients + bands — enough spatial structure for matching to latch onto."""
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = 0.15 * (xx / w) + 0.1 * (yy / h)
+    cx = rng.uniform(0, w, n_blobs)
+    cy = rng.uniform(0, h, n_blobs)
+    s = rng.uniform(4, 40, n_blobs)
+    a = rng.uniform(-0.6, 1.0, n_blobs)
+    for i in range(n_blobs):
+        img += a[i] * np.exp(-(((xx - cx[i]) ** 2 + (yy - cy[i]) ** 2)
+                               / (2 * s[i] ** 2)))
+    # a few random bands
+    for _ in range(6):
+        th = rng.uniform(0, np.pi)
+        f = rng.uniform(0.01, 0.08)
+        ph = rng.uniform(0, 2 * np.pi)
+        img += 0.15 * np.sin(2 * np.pi * f *
+                             (np.cos(th) * xx + np.sin(th) * yy) + ph)
+    img -= img.min()
+    img /= max(img.max(), 1e-6)
+    return img.astype(np.float32)
+
+
+def load_image_dir(root: str, hw: Tuple[int, int]) -> Optional[np.ndarray]:
+    """Load grayscale images (jpg/png/ppm) resized to hw; None if dir empty."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    paths = sorted(sum((glob.glob(os.path.join(root, "**", e), recursive=True)
+                        for e in ("*.jpg", "*.png", "*.ppm")), []))
+    if not paths:
+        return None
+    h, w = hw
+    out = []
+    for p in paths:
+        im = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+        if im is None:
+            continue
+        out.append(cv2.resize(im, (w, h)).astype(np.float32) / 255.0)
+    return np.stack(out) if out else None
+
+
+@partial(jax.jit, static_argnames=("coarse_scale",))
+def make_pair_batch(base: jax.Array, key: jax.Array, coarse_scale: int = 8):
+    """Turn base images [B, H, W] into supervised homography pairs on-device.
+
+    Mirrors HomoDataset.get_pair (HomoDataset.py:83-158): sample H, warp,
+    photometric jitter, compute coarse-resolution valid masks from the warp,
+    and swap the pair (with H^{-1}) for half the samples.
+
+    Returns dict: image0/image1 [B,H,W,1], H_0to1/H_1to0 [B,3,3],
+    mask0/mask1 [B, H/8, W/8].
+    """
+    b, h, w = base.shape
+    keys = jax.random.split(key, 5)
+    Hs = jax.vmap(lambda k: sample_homography(k, (h, w)))(
+        jax.random.split(keys[0], b))
+
+    img0 = base[..., None]
+    img1 = warp_image(img0, Hs)
+
+    # photometric jitter on the warped view (stand-in for albumentations)
+    bright = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=-0.1, maxval=0.1)
+    contrast = jax.random.uniform(keys[2], (b, 1, 1, 1), minval=0.8,
+                                  maxval=1.2)
+    noise = 0.02 * jax.random.normal(keys[3], img1.shape)
+    img1 = jnp.clip((img1 + bright) * contrast + noise, 0.0, 1.0)
+
+    # coarse-resolution validity: cell center maps inside the source image
+    hc, wc = h // coarse_scale, w // coarse_scale
+    centers = grid_points(hc, wc, coarse_scale) + coarse_scale / 2
+    Hinv = jnp.linalg.inv(Hs)
+    src = warp_points(centers[None], Hinv)
+    inb = ((src[..., 0] >= 0) & (src[..., 0] < w)
+           & (src[..., 1] >= 0) & (src[..., 1] < h))
+    mask1 = inb.reshape(b, hc, wc).astype(jnp.float32)
+    mask0 = jnp.ones((b, hc, wc), jnp.float32)
+
+    # 50% swap with inverse homography (HomoDataset.py:151-158)
+    swap = jax.random.uniform(keys[4], (b, 1, 1, 1)) < 0.5
+    i0 = jnp.where(swap, img1, img0)
+    i1 = jnp.where(swap, img0, img1)
+    swap_b = swap[:, 0, 0, 0]
+    H01 = jnp.where(swap_b[:, None, None], Hinv, Hs)
+    H10 = jnp.where(swap_b[:, None, None], Hs, Hinv)
+    m0 = jnp.where(swap_b[:, None, None], mask1, mask0)
+    m1 = jnp.where(swap_b[:, None, None], mask0, mask1)
+
+    return {"image0": i0, "image1": i1, "H_0to1": H01, "H_1to0": H10,
+            "mask0": m0, "mask1": m1}
+
+
+def base_image_stream(hw: Tuple[int, int], batch: int, seed: int = 0,
+                      image_dir: Optional[str] = None) -> Iterator[np.ndarray]:
+    """Endless stream of [batch, H, W] base images (dataset dir or procedural)."""
+    rng = np.random.default_rng(seed)
+    bank = load_image_dir(image_dir, hw) if image_dir else None
+    if bank is None:
+        bank = np.stack([procedural_texture(rng, hw) for _ in range(64)])
+    n = len(bank)
+    while True:
+        idx = rng.integers(0, n, size=batch)
+        yield bank[idx]

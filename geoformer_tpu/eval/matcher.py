@@ -1,0 +1,110 @@
+"""Batched eval-time matcher: image loading, resolution bucketing, jit cache.
+
+Replaces the reference's one-pair-at-a-time wrapper (reference:
+eval_tool/immatch/modules/geoformer.py:41-99, utils/data_io.py:16-62) with a
+bucketed, padded, batched pipeline: images are min-edge resized (/8-divisible),
+zero-padded into a per-bucket static shape with coarse masks, and matched in
+fixed-shape batches so XLA compiles once per bucket.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoformer_tpu.config import GeoFormerConfig
+from geoformer_tpu.models import GeoFormer
+
+
+def resize_shape(wo: int, ho: int, imsize: Optional[int], dfactor: int = 8,
+                 use_min: bool = True) -> Tuple[int, int, Tuple[float, float]]:
+    """Target (wt, ht) and (sx, sy) scale, mirroring resize_im
+    (data_io.py:16-26): resize only when the chosen edge exceeds imsize, then
+    floor both edges to the dfactor grid."""
+    wt, ht = wo, ho
+    edge = min(wo, ho) if use_min else max(wo, ho)
+    if imsize and imsize > 0 and edge > imsize:
+        s = imsize / edge
+        ht, wt = int(round(ho * s)), int(round(wo * s))
+    wt, ht = (wt // dfactor) * dfactor, (ht // dfactor) * dfactor
+    return wt, ht, (wo / wt, ho / ht)
+
+
+def load_gray(path: str, imsize: Optional[int], dfactor: int = 8
+              ) -> Tuple[np.ndarray, Tuple[float, float]]:
+    import cv2
+
+    im = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if im is None:
+        raise FileNotFoundError(f"cannot read image: {path}")
+    ho, wo = im.shape
+    wt, ht, scale = resize_shape(wo, ho, imsize, dfactor)
+    im = cv2.resize(im, (wt, ht))
+    return im.astype(np.float32) / 255.0, scale
+
+
+def bucket_shape(h: int, w: int, quant: int = 64) -> Tuple[int, int]:
+    return (math.ceil(h / quant) * quant, math.ceil(w / quant) * quant)
+
+
+class BatchedMatcher:
+    """jit-cached batched GeoFormer matcher over padded buckets."""
+
+    def __init__(self, config: GeoFormerConfig, params, batch_size: int = 4):
+        self.model = GeoFormer(config)
+        self.params = params
+        self.batch_size = batch_size
+        self.cfg = config
+        self._jit_cache: Dict[Tuple[int, int], callable] = {}
+
+    def _get_fn(self, hw: Tuple[int, int]):
+        if hw not in self._jit_cache:
+            @jax.jit
+            def fwd(params, i0, i1, m0, m1):
+                return self.model.apply(
+                    params, i0, i1, mask0=m0, mask1=m1,
+                    rngs={"ransac": jax.random.key(0)})
+            self._jit_cache[hw] = fwd
+        return self._jit_cache[hw]
+
+    def match_batch(self, imgs0: List[np.ndarray], imgs1: List[np.ndarray]):
+        """Match a list of same-bucket image pairs (arbitrary true sizes).
+
+        Returns per-pair (mkpts0 [K,2], mkpts1 [K,2], mconf [K]) in the
+        resized (pre-padding) pixel frame.
+        """
+        s = self.cfg.coarse_scale
+        bh = max(bucket_shape(*im.shape) for im in imgs0 + imgs1)
+        H, W = bh
+        n = len(imgs0)
+        b = self.batch_size
+        out = []
+        for start in range(0, n, b):
+            chunk0 = imgs0[start:start + b]
+            chunk1 = imgs1[start:start + b]
+            k = len(chunk0)
+            i0 = np.zeros((b, H, W, 1), np.float32)
+            i1 = np.zeros((b, H, W, 1), np.float32)
+            m0 = np.zeros((b, H // s, W // s), np.float32)
+            m1 = np.zeros((b, H // s, W // s), np.float32)
+            for j, (a, c) in enumerate(zip(chunk0, chunk1)):
+                i0[j, :a.shape[0], :a.shape[1], 0] = a
+                i1[j, :c.shape[0], :c.shape[1], 0] = c
+                m0[j, :a.shape[0] // s, :a.shape[1] // s] = 1.0
+                m1[j, :c.shape[0] // s, :c.shape[1] // s] = 1.0
+            fn = self._get_fn((H, W))
+            res = fn(self.params, jnp.asarray(i0), jnp.asarray(i1),
+                     jnp.asarray(m0), jnp.asarray(m1))
+            mk0 = np.asarray(res.fine.mkpts0)
+            mk1 = np.asarray(res.fine.mkpts1)
+            mc = np.asarray(res.fine.mconf)
+            valid = np.asarray(res.fine.valid)
+            for j in range(k):
+                v = valid[j]
+                out.append((mk0[j][v], mk1[j][v], mc[j][v]))
+        return out

@@ -1,0 +1,149 @@
+"""Pure-JAX homography toolbox.
+
+Re-derivation of the reference's torch/cv2/kornia geometry layer
+(reference: utils/homography.py:86-386, eval_tool utils) as vmap-first,
+fixed-shape JAX. No OpenCV in the compute path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def warp_points(points: jax.Array, H: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Warp 2-D points through homographies.
+
+    Mirrors ``warp_points_batch`` (reference: utils/homography.py:86-105)
+    including the zero-denominator guard.
+
+    Args:
+        points: [..., N, 2] (x, y).
+        H: [..., 3, 3] broadcastable homographies.
+    Returns:
+        [..., N, 2] warped (x, y).
+    """
+    # Explicit multiply-adds instead of a 3x3 einsum: exact f32 on the VPU
+    # (TPU MXU matmuls default to reduced precision, which is unacceptable for
+    # pixel-coordinate warps).
+    batch = jnp.broadcast_shapes(points.shape[:-2], H.shape[:-2])
+    points = jnp.broadcast_to(points, batch + points.shape[-2:])
+    x, y = points[..., 0], points[..., 1]
+    Hb = jnp.broadcast_to(H, batch + (3, 3))
+    u = Hb[..., 0, 0, None] * x + Hb[..., 0, 1, None] * y + Hb[..., 0, 2, None]
+    v = Hb[..., 1, 0, None] * x + Hb[..., 1, 1, None] * y + Hb[..., 1, 2, None]
+    d = Hb[..., 2, 0, None] * x + Hb[..., 2, 1, None] * y + Hb[..., 2, 2, None]
+    d = jnp.where(d == 0, eps, d)
+    return jnp.stack([u / d, v / d], axis=-1)
+
+
+def grid_points(h: int, w: int, scale: int = 1, dtype=jnp.float32) -> jax.Array:
+    """[h*w, 2] (x, y) pixel coordinates of a regular grid with stride ``scale``.
+
+    Mirrors ``get_map_keypoints`` (reference: utils/common_utils.py:137-144):
+    cell (r, c) -> pixel (c*scale, r*scale).
+    """
+    ys = jnp.arange(h, dtype=dtype) * scale
+    xs = jnp.arange(w, dtype=dtype) * scale
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+
+
+def compute_valid_mask(image_hw, H: jax.Array, inverse: bool = False) -> jax.Array:
+    """Boolean [h, w] mask of pixels that map inside the image under ``H``.
+
+    The reference warps a ones-image through the homography with kornia
+    (utils/homography.py:258-297). Equivalent closed form: pixel p is valid iff
+    H^{-1} p lands inside the source image (warping img by H places source pixel
+    q at position H q). We compute it analytically — no image resampling.
+
+    Args:
+        image_hw: (h, w) static.
+        H: [3, 3]. If ``inverse`` the matrix is already the dst->src mapping.
+    Returns:
+        [h, w] float32 mask in {0, 1}.
+    """
+    h, w = image_hw
+    Minv = H if inverse else jnp.linalg.inv(H)
+    pts = grid_points(h, w)                      # dst pixel centers
+    src = warp_points(pts, Minv)
+    inb = (
+        (src[:, 0] >= -0.5) & (src[:, 0] <= w - 0.5)
+        & (src[:, 1] >= -0.5) & (src[:, 1] <= h - 0.5)
+    )
+    return inb.reshape(h, w).astype(jnp.float32)
+
+
+def four_point_homography(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Exact homography from 4 correspondences via an 8x8 linear solve.
+
+    Equivalent to cv2.getPerspectiveTransform (used by the reference's
+    ``sample_homography``, utils/homography.py:352-386). h33 is fixed to 1.
+
+    Args:
+        src, dst: [4, 2].
+    Returns:
+        [3, 3] H with H @ [src,1] ~ [dst,1].
+    """
+    x, y = src[:, 0], src[:, 1]
+    u, v = dst[:, 0], dst[:, 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    ax = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], axis=-1)
+    ay = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], axis=-1)
+    A = jnp.concatenate([ax, ay], axis=0)          # [8, 8]
+    b = jnp.concatenate([u, v], axis=0)            # [8]
+    sol = jnp.linalg.solve(A, b[:, None])[:, 0]
+    return jnp.concatenate([sol, jnp.ones((1,), sol.dtype)]).reshape(3, 3)
+
+
+def sample_homography(key: jax.Array, image_hw, small_warp_p: float = 0.2,
+                      flip_p: float = 0.2) -> jax.Array:
+    """Random training homography, matching the reference's sampler semantics
+    (utils/homography.py:352-386): random 4-corner perturbation in
+    [-rg/3, rg/3] (rg = max(h, w)), 20% chance of a small +-5px warp, and 20%
+    chance of composing/replacing with an axis flip.
+
+    Returns [3, 3] float32.
+    """
+    h, w = image_hw
+    rg = max(h, w)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    corners = jnp.array([[0, 0], [0, h], [w, 0], [w, h]], jnp.float32)
+    big = jax.random.randint(k1, (4, 2), -rg // 3, rg // 3).astype(jnp.float32)
+    small = jax.random.randint(k2, (4, 2), -5, 5).astype(jnp.float32)
+    warp = jnp.where(jax.random.uniform(k3) < small_warp_p, small, big)
+    H = four_point_homography(corners, corners + warp)
+
+    flips = jnp.stack([
+        jnp.array([[-1, 0, w], [0, 1, 0], [0, 0, 1]], jnp.float32),
+        jnp.array([[1, 0, 0], [0, -1, h], [0, 0, 1]], jnp.float32),
+    ])
+    flip = flips[jax.random.randint(k4, (), 0, 2)]
+    u = jax.random.uniform(k5, (2,))
+    H = jnp.where(
+        u[0] < flip_p,
+        jnp.where(u[1] < 0.6, flip, H @ flip),
+        H,
+    )
+    return H
+
+
+def scale_homography(H: jax.Array, sx: float, sy: float) -> jax.Array:
+    """Conjugate H by a diagonal scaling: maps between resized coordinate frames
+    (reference: utils/preprocess_utils.py:96-105, hpatches_helper.py:90-93)."""
+    S = jnp.array([[sx, 0, 0], [0, sy, 0], [0, 0, 1]], H.dtype)
+    Sinv = jnp.array([[1 / sx, 0, 0], [0, 1 / sy, 0], [0, 0, 1]], H.dtype)
+    return S @ H @ Sinv
+
+
+def corner_error(H_pred: jax.Array, H_gt: jax.Array, image_hw) -> jax.Array:
+    """Mean corner-reprojection distance between two homographies — the HPatches
+    Hest metric (reference: eval_tool/immatch/utils/hpatches_helper.py:228-240)."""
+    h, w = image_hw
+    corners = jnp.array(
+        [[0, 0], [0, h - 1], [w - 1, 0], [w - 1, h - 1]], jnp.float32
+    )
+    a = warp_points(corners, H_pred)
+    b = warp_points(corners, H_gt)
+    return jnp.linalg.norm(a - b, axis=-1).mean()

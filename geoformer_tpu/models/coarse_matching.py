@@ -1,0 +1,118 @@
+"""Coarse dual-softmax matching with fixed-capacity match extraction.
+
+Functional re-derivation of CoarseMatching (reference:
+model/loftr_src/loftr/utils/coarse_matching.py:90-212). The reference emits a
+data-dependent match list via torch.where; here every image0 coarse cell keeps
+a dense slot (j index, confidence, validity), and an optional top-k pass
+compacts them to a static capacity. Note the reference constructor overrides
+border_rm to 0, so no border suppression is applied.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from geoformer_tpu.core.capacity import topk_select
+from geoformer_tpu.ops.matching import dual_softmax
+
+
+class CoarseMatches(NamedTuple):
+    """Fixed-shape coarse match set.
+
+    conf: [B, L0, L1] dual-softmax confidence (differentiable, for the loss).
+    i_ids/j_ids: [B, M] coarse cell indices into image0/image1 grids.
+    valid: [B, M] slot validity.
+    mconf: [B, M] confidence at (i, j).
+    """
+
+    conf: jax.Array
+    i_ids: jax.Array
+    j_ids: jax.Array
+    valid: jax.Array
+    mconf: jax.Array
+
+
+def extract_matches(conf: jax.Array, thr: float, capacity: int,
+                    force_one: bool = False, mask0=None, mask1=None
+                    ) -> CoarseMatches:
+    """Mutual-NN + threshold match extraction at fixed capacity.
+
+    Mirrors get_coarse_match (coarse_matching.py:170-190): threshold, mutual
+    nearest neighbour in both directions, and (training only) the force-one
+    hack that guarantees >=1 match per pair by asserting cell (0, 0).
+
+    capacity <= 0 selects "dense" mode: one slot per image0 cell (i_ids is the
+    identity), which preserves the reference's row ordering exactly.
+    """
+    b, l0, l1 = conf.shape
+    # Match extraction is a hard decision (@no_grad in the reference,
+    # coarse_matching.py:132); only the conf matrix itself carries gradients.
+    conf_sg = jax.lax.stop_gradient(conf)
+    return CoarseMatches(conf, *_extract_ids(conf_sg, thr, capacity,
+                                             force_one, mask0, mask1))
+
+
+def _extract_ids(conf, thr, capacity, force_one, mask0, mask1):
+    b, l0, l1 = conf.shape
+    row_best = conf.max(axis=2)
+    j_ids = conf.argmax(axis=2)                            # [B, L0]
+    col_best = conf.max(axis=1)                            # [B, L1]
+    mutual = row_best == jnp.take_along_axis(col_best, j_ids, axis=1)
+    valid = (row_best > thr) & mutual
+    # Exclude padded cells outright. The reference only relies on their
+    # near-zero confidence (they sit on the -INF plateau of the dual softmax),
+    # which leaks matches when the padded region is tiny; masking is strictly
+    # safer and changes nothing for unpadded inputs.
+    if mask0 is not None:
+        valid &= mask0.reshape(b, l0) > 0
+    if mask1 is not None:
+        valid &= jnp.take_along_axis(mask1.reshape(b, l1), j_ids, axis=1) > 0
+
+    if force_one:
+        none = ~valid.any(axis=1)                          # [B]
+        first = jnp.arange(l0) == 0
+        valid = valid | (none[:, None] & first[None, :])
+        j_ids = jnp.where((none[:, None] & first[None, :]), 0, j_ids)
+
+    mconf = jnp.where(valid, row_best, 0.0)
+    if force_one:
+        # forced (0,0) slot keeps its true (possibly sub-threshold) confidence
+        mconf = jnp.where(valid, jnp.take_along_axis(
+            conf, j_ids[..., None], axis=2)[..., 0], 0.0)
+
+    if capacity <= 0 or capacity >= l0:
+        i_ids = jnp.broadcast_to(jnp.arange(l0, dtype=jnp.int32), (b, l0))
+        return i_ids, j_ids.astype(jnp.int32), valid, mconf
+
+    def select(mc, v, j):
+        idx, ok = topk_select(mc, v, capacity)
+        return idx, jnp.take(j, idx), ok, jnp.take(mc, idx) * ok
+
+    i_ids, j_sel, ok, mc_sel = jax.vmap(select)(mconf, valid, j_ids)
+    return i_ids.astype(jnp.int32), j_sel.astype(jnp.int32), ok, mc_sel
+
+
+def coarse_match(
+    feat_c0: jax.Array,
+    feat_c1: jax.Array,
+    thr: float,
+    temperature: float = 0.1,
+    capacity: int = -1,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+    force_one: bool = False,
+) -> CoarseMatches:
+    """Full coarse matching: dual-softmax confidence + fixed-capacity extraction."""
+    conf = dual_softmax(feat_c0, feat_c1, temperature, mask0, mask1)
+    return extract_matches(conf, thr, capacity, force_one, mask0, mask1)
+
+
+def match_coords(ids: jax.Array, grid_w: int, scale: int) -> jax.Array:
+    """Cell indices -> pixel coords (x, y) = (i % w, i // w) * scale
+    (reference: coarse_matching.py:199-205)."""
+    x = (ids % grid_w) * scale
+    y = (ids // grid_w) * scale
+    return jnp.stack([x, y], axis=-1).astype(jnp.float32)

@@ -1,0 +1,129 @@
+"""Full GeoFormer model (flax.linen).
+
+Orchestrates the pipeline of the reference's GeoFormer.forward
+(reference: model/full_model.py:39-123):
+
+    backbone -> sine PE -> coarse LoFTR -> coarse match (pass 1)
+    -> GAM (on-device RANSAC + geometry-restricted attention)
+    -> coarse match (pass 2) -> fine window gather -> fine LoFTR
+    -> fine dual-softmax decode
+
+The reference's dict-as-bus is replaced by typed pytrees (CoarseMatches /
+FineMatches / MatchOutput) with static capacities; both images must share a
+static shape (the batched-backbone path of full_model.py:55-59 — resolution
+bucketing with padding masks handles mixed aspect ratios).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from geoformer_tpu.config import GeoFormerConfig
+from geoformer_tpu.models.backbone import ResNetFPN
+from geoformer_tpu.models.coarse_matching import CoarseMatches, coarse_match
+from geoformer_tpu.models.fine import (
+    FineMatches,
+    FinePreprocess,
+    fine_matching,
+)
+from geoformer_tpu.models.geo_module import GeoModule, GeoState
+from geoformer_tpu.models.position import add_position_encoding
+from geoformer_tpu.models.transformer import LocalFeatureTransformer
+from geoformer_tpu.ops.matching import dual_softmax
+
+
+class MatchOutput(NamedTuple):
+    dect_conf: jax.Array        # [B, L0, L1] first-pass coarse confidence
+    conf: jax.Array             # [B, L0, L1] second-pass coarse confidence
+    matches: CoarseMatches      # second-pass matches (drives the fine stage)
+    fine: FineMatches           # final matches + fine confidence
+    geo: GeoState               # RANSAC state (H, inlier stats)
+
+
+class GeoFormer(nn.Module):
+    config: GeoFormerConfig = GeoFormerConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        image0: jax.Array,
+        image1: jax.Array,
+        mask0: Optional[jax.Array] = None,
+        mask1: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> MatchOutput:
+        """
+        Args:
+            image0/1: [B, H, W, 1] grayscale in [0, 1]; same static shape.
+            mask0/1: [B, H/8, W/8] coarse-resolution validity masks (padding).
+            train: BatchNorm mode + force-one-match behaviour.
+        """
+        cfg = self.config
+        b, H, W, _ = image0.shape
+        h0c, w0c = H // cfg.coarse_scale, W // cfg.coarse_scale
+        h1c, w1c = h0c, w0c
+        dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+
+        # 1. Shared backbone on the concatenated pair (full_model.py:55-59).
+        backbone = ResNetFPN(cfg.backbone.initial_dim, cfg.backbone.block_dims,
+                             dtype=dtype, name="backbone")
+        feats_c, feats_f = backbone(
+            jnp.concatenate([image0, image1], axis=0), train=train)
+        cnn_c0, cnn_c1 = feats_c[:b], feats_c[b:]          # [B, h/8, w/8, 256]
+        feat_f0, feat_f1 = feats_f[:b], feats_f[b:]        # [B, h/2, w/2, 128]
+
+        # 2. Positional encoding + coarse transformer over flat tokens.
+        f0 = add_position_encoding(cnn_c0).reshape(b, h0c * w0c, -1)
+        f1 = add_position_encoding(cnn_c1).reshape(b, h1c * w1c, -1)
+        m0 = mask0.reshape(b, -1) if mask0 is not None else None
+        m1 = mask1.reshape(b, -1) if mask1 is not None else None
+        coarse_tf = LocalFeatureTransformer(
+            cfg.coarse.d_model, cfg.coarse.nhead, cfg.coarse.layer_names,
+            cfg.coarse.attention, dtype=dtype, name="loftr_coarse")
+        f0, f1 = coarse_tf(f0, f1, m0, m1)
+
+        force_one = cfg.match.force_one_match or train
+
+        # 3. First coarse matching pass.
+        matches1 = coarse_match(
+            f0, f1, cfg.match.thr, cfg.match.dsmax_temperature,
+            cfg.match.max_matches, m0, m1, force_one=force_one)
+
+        # 4. GAM on the pre-transformer CNN features (full_model.py:87-89).
+        geo = GeoModule(cfg.geo, cfg.coarse.d_model, dtype=dtype,
+                        name="geo_module")
+        g0, g1, geo_state = geo(cnn_c0, cnn_c1, matches1, cfg.coarse_scale,
+                                self.make_rng("ransac"))
+
+        # 5. Second coarse matching pass on the geometrized features.
+        matches2 = coarse_match(
+            g0, g1, cfg.match.thr, cfg.match.dsmax_temperature,
+            cfg.match.max_matches, m0, m1, force_one=force_one)
+
+        # 6. Fine stage.
+        stride = cfg.coarse_scale // cfg.fine_scale
+        pre = FinePreprocess(cfg.fine.d_model, cfg.coarse.d_model,
+                             cfg.fine_match.window_size,
+                             cfg.fine_match.concat_coarse_feat, dtype=dtype,
+                             name="fine_preprocess")
+        w0, w1 = pre(feat_f0, feat_f1, g0, g1, matches2, stride, w0c, w1c)
+
+        m = w0.shape[1]
+        ww = cfg.fine_match.window_size ** 2
+        fine_tf = LocalFeatureTransformer(
+            cfg.fine.d_model, cfg.fine.nhead, cfg.fine.layer_names,
+            cfg.fine.attention, dtype=dtype, name="loftr_fine")
+        t0, t1 = fine_tf(w0.reshape(b * m, ww, -1), w1.reshape(b * m, ww, -1))
+
+        fine_conf = dual_softmax(t0, t1, cfg.fine_match.temperature)
+        fine_conf = fine_conf.reshape(b, m, ww, ww)
+        fine = fine_matching(fine_conf, matches2, w0c, w1c, cfg.coarse_scale,
+                             cfg.fine_scale, cfg.fine_match.window_size,
+                             cfg.fine_match.thr)
+
+        return MatchOutput(matches1.conf, matches2.conf, matches2, fine,
+                           geo_state)

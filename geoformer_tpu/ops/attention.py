@@ -1,0 +1,126 @@
+"""Attention primitives for the coarse/fine/geo transformers.
+
+Math mirrors the reference's three attention variants:
+- LinearAttention (elu+1 feature map, O(N) KV aggregation, /v_length guard) —
+  reference: model/loftr_src/loftr/loftr_module/linear_attention.py:15-51.
+- FullAttention with padding-mask fill — same file :54-85.
+- Geo FullAttention with -1e8 fill and zeroed all-masked rows — reference:
+  model/geo_transformer/geo_attention.py:47-101 — plus a per-query windowed
+  cross attention used by the GAM (each query owns a small gathered KV set).
+
+Shapes are [B, L, H, D] (batch, tokens, heads, head_dim). All functions are
+pure and fixed-shape; masks make padding exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _elu_feature_map(x: jax.Array) -> jax.Array:
+    return jax.nn.elu(x) + 1.0
+
+
+def linear_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_mask: Optional[jax.Array] = None,
+    kv_mask: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """O(N) linear attention ("Transformers are RNNs" style).
+
+    Args:
+        q: [B, L, H, D]; k, v: [B, S, H, D].
+        q_mask: [B, L] bool/float; kv_mask: [B, S].
+    Returns:
+        [B, L, H, D].
+    """
+    Q = _elu_feature_map(q)
+    K = _elu_feature_map(k)
+    if q_mask is not None:
+        Q = Q * q_mask[:, :, None, None].astype(Q.dtype)
+    if kv_mask is not None:
+        kvm = kv_mask[:, :, None, None].astype(K.dtype)
+        K = K * kvm
+        v = v * kvm
+
+    s = v.shape[1]
+    v_scaled = v / s  # overflow guard, mirrors the reference exactly
+    KV = jnp.einsum("bshd,bshv->bhdv", K, v_scaled)
+    Ksum = K.sum(axis=1)                                   # [B, H, D]
+    Z = 1.0 / (jnp.einsum("blhd,bhd->blh", Q, Ksum) + eps)
+    out = jnp.einsum("blhd,bhdv->blhv", Q, KV) * Z[..., None] * s
+    return out
+
+
+def full_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_mask: Optional[jax.Array] = None,
+    kv_mask: Optional[jax.Array] = None,
+    mask_fill: float = -1e9,
+    zero_empty_rows: bool = False,
+) -> jax.Array:
+    """Softmax attention with optional padding masks.
+
+    ``zero_empty_rows`` reproduces the geo-attention edge case: queries whose
+    entire KV set is masked produce an exactly-zero output
+    (reference: geo_attention.py:98-100).
+    """
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    logits = jnp.einsum("blhd,bshd->blsh", q, k)
+    if q_mask is not None or kv_mask is not None:
+        m = None
+        if q_mask is not None:
+            m = q_mask[:, :, None, None].astype(bool)
+        if kv_mask is not None:
+            km = kv_mask[:, None, :, None].astype(bool)
+            m = km if m is None else (m & km)
+        logits = jnp.where(m, logits, mask_fill)
+    attn = jax.nn.softmax(scale * logits, axis=2)
+    out = jnp.einsum("blsh,bshd->blhd", attn, v)
+    if zero_empty_rows and kv_mask is not None:
+        empty = (kv_mask.astype(jnp.int32).sum(-1) == 0)   # [B]
+        out = jnp.where(empty[:, None, None, None], 0.0, out)
+    return out
+
+
+def window_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    mask_fill: float = -1e8,
+) -> jax.Array:
+    """Per-query windowed attention: each query token owns its own tiny KV set.
+
+    This is the batched form of the GAM cross layer, where the reference loops
+    per sample and runs attention with L=1 per query over a 25-token gathered
+    window (reference: model/geo_transformer/transformer.py:125-139).
+
+    Args:
+        q: [B, L, H, D] queries.
+        k, v: [B, L, W, H, D] per-query windows.
+        kv_mask: [B, L, W] validity of window entries. Queries whose window is
+            entirely invalid get a zero output (geo_attention.py:98-100).
+    Returns:
+        [B, L, H, D].
+    """
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    logits = jnp.einsum("blhd,blwhd->blwh", q, k)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[..., None].astype(bool), logits, mask_fill)
+    attn = jax.nn.softmax(scale * logits, axis=2)
+    out = jnp.einsum("blwh,blwhd->blhd", attn, v)
+    if kv_mask is not None:
+        empty = kv_mask.astype(jnp.int32).sum(-1) == 0     # [B, L]
+        out = jnp.where(empty[:, :, None, None], 0.0, out)
+    return out

@@ -1,0 +1,54 @@
+"""Checkpoint save/restore (orbax).
+
+Replaces Lightning's ModelCheckpoint + torch pickle (reference:
+train_homo_geoformer.py:107-110, lightning_homo_geoformer.py:84-87) with
+orbax pytree checkpoints; resume restores params, batch stats, optimizer
+state, and step atomically.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from geoformer_tpu.train.trainer import TrainState
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                    keep: int = 5) -> None:
+    path = os.path.abspath(ckpt_dir)
+    os.makedirs(path, exist_ok=True)
+    with ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
+    ) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state._asdict()))
+
+
+def restore_checkpoint(ckpt_dir: str, state: TrainState,
+                       step: Optional[int] = None) -> TrainState:
+    path = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(path) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            return state
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(state._asdict()))
+    return TrainState(**restored)
+
+
+def save_params(path: str, params: Any) -> None:
+    """Standalone param export (eval-ready, no optimizer state)."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(jax.tree.map(lambda x: jax.device_get(x), params), f)
+
+
+def load_params(path: str) -> Any:
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,98 @@
+"""Self-supervised homography training loop (single-host, multi-device DP).
+
+The TPU-native counterpart of train_homo_geoformer (reference:
+lightning/train_homo_geoformer.py:61-133): synthetic homography pairs are
+generated on-device (data/synthetic.py), the step is pjit-sharded over the
+data axis of the mesh, and metrics/checkpoints stream to jsonl/orbax.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from geoformer_tpu.config import (
+    GeoFormerConfig,
+    GeoModuleConfig,
+    MatchConfig,
+    TrainConfig,
+)
+from geoformer_tpu.data.synthetic import base_image_stream, make_pair_batch
+from geoformer_tpu.models import GeoFormer
+from geoformer_tpu.train.checkpoint import save_checkpoint, save_params
+from geoformer_tpu.train.trainer import (
+    init_state,
+    make_train_step,
+    shard_train_step,
+)
+
+
+def run_training(
+    image_dir: Optional[str] = None,
+    steps: int = 1000,
+    batch_size: int = 8,
+    image_hw: Tuple[int, int] = (480, 640),
+    ckpt_dir: str = "checkpoints",
+    log_every: int = 50,
+    ckpt_every: int = 1000,
+    seed: int = 66,
+    match_capacity: int = 512,
+    model_cfg: Optional[GeoFormerConfig] = None,
+):
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, ("data",))
+    n_dev = len(devices)
+    assert batch_size % n_dev == 0, (batch_size, n_dev)
+
+    cfg = model_cfg or GeoFormerConfig(
+        match=MatchConfig(max_matches=match_capacity, force_one_match=True),
+        geo=GeoModuleConfig(ransac_iters=256, max_inliers=512),
+    )
+    tcfg = TrainConfig(batch_size=batch_size, image_hw=image_hw, seed=seed,
+                       steps_per_epoch=max(1, steps // 15))
+    model = GeoFormer(cfg)
+    key = jax.random.key(seed)
+    state, opt = init_state(model, tcfg, key)
+    step_fn = shard_train_step(make_train_step(model, opt, tcfg), mesh)
+
+    data_sh = NamedSharding(mesh, P("data"))
+    stream = base_image_stream(image_hw, batch_size, seed, image_dir)
+    pair_key = jax.random.key(seed + 1)
+    ransac_key = jax.random.key(seed + 2)
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    metrics_path = os.path.join(ckpt_dir, "metrics.jsonl")
+    t0 = time.time()
+    last = t0
+    with open(metrics_path, "a") as mf:
+        for step in range(steps):
+            base = jax.device_put(jnp.asarray(next(stream)), data_sh)
+            pair_key, k1 = jax.random.split(pair_key)
+            ransac_key, k2 = jax.random.split(ransac_key)
+            batch = make_pair_batch(base, k1)
+            state, metrics = step_fn(state, batch, k2)
+            if (step + 1) % log_every == 0 or step == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                now = time.time()
+                m.update(step=step + 1,
+                         imgs_per_s=batch_size * log_every / (now - last)
+                         if step else batch_size / (now - t0))
+                last = now
+                print(json.dumps(m))
+                mf.write(json.dumps(m) + "\n")
+                mf.flush()
+            if (step + 1) % ckpt_every == 0 or step + 1 == steps:
+                save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+
+    save_params(os.path.join(ckpt_dir, "params_final.pkl"), {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    })
+    return state

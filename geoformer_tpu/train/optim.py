@@ -1,0 +1,55 @@
+"""Optimizer + LR schedule factory (optax).
+
+Mirrors the reference's AdamW + linear warm-up + MultiStepLR recipe
+(reference: loftr_src/optimizers/__init__.py:5-42, warm-up at
+lightning/lightning_homo_geoformer.py:47-67, LR scaling at
+lightning/train_homo_geoformer.py:80-86): the canonical LR is scaled by
+world_batch / canonical_batch, warm-up steps are divided by the same factor.
+"""
+
+from __future__ import annotations
+
+import optax
+
+from geoformer_tpu.config import OptimConfig
+
+
+def make_schedule(cfg: OptimConfig, batch_size: int, steps_per_epoch: int):
+    scaling = batch_size / cfg.canonical_bs
+    true_lr = cfg.true_lr if cfg.true_lr > 0 else cfg.canonical_lr * scaling
+    warmup = max(1, int(cfg.warmup_steps / max(scaling, 1e-8)))
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        warm = cfg.warmup_ratio * true_lr + (
+            step / warmup) * (1.0 - cfg.warmup_ratio) * true_lr
+        base = jnp.minimum(warm, true_lr)
+        if cfg.scheduler == "multistep":
+            epoch = step // steps_per_epoch
+            k = sum((epoch >= m).astype(jnp.int32)
+                    for m in cfg.mslr_milestones)
+            decay = cfg.mslr_gamma ** k
+        elif cfg.scheduler == "cosine":
+            epoch = step / steps_per_epoch
+            decay = 0.5 * (1 + jnp.cos(jnp.pi * epoch / cfg.cosa_tmax))
+        elif cfg.scheduler == "exponential":
+            decay = cfg.elr_gamma ** step
+        else:
+            raise ValueError(cfg.scheduler)
+        return base * decay
+
+    return schedule, true_lr
+
+
+def make_optimizer(cfg: OptimConfig, batch_size: int, steps_per_epoch: int):
+    schedule, _ = make_schedule(cfg, batch_size, steps_per_epoch)
+    if cfg.optimizer == "adamw":
+        opt = optax.adamw(schedule, weight_decay=cfg.adamw_decay)
+    elif cfg.optimizer == "adam":
+        opt = optax.adam(schedule)
+    else:
+        raise ValueError(cfg.optimizer)
+    if cfg.gradient_clipping > 0:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.gradient_clipping), opt)
+    return opt

@@ -1,0 +1,110 @@
+"""Data-parallel training step + state (pjit over a jax.sharding.Mesh).
+
+Replaces the reference's Lightning/DDP engine (reference:
+lightning/lightning_homo_geoformer.py:17-122, train_homo_geoformer.py:61-133):
+gradient synchronization is compiler-inserted (GSPMD) from the batch sharding;
+BatchNorm statistics reduce over the global (sharded) batch, giving sync-BN
+semantics (the reference sets sync_batchnorm=True) for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from geoformer_tpu.config import GeoFormerConfig, TrainConfig
+from geoformer_tpu.models import GeoFormer
+from geoformer_tpu.train.loss import geo_loss
+from geoformer_tpu.train.optim import make_optimizer
+from geoformer_tpu.train.supervision import (
+    spvs_coarse_homography,
+    spvs_fine_homography,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def init_state(model: GeoFormer, tcfg: TrainConfig, rng: jax.Array
+               ) -> Tuple[TrainState, optax.GradientTransformation]:
+    H, W = tcfg.image_hw
+    img = jnp.zeros((1, H, W, 1))
+    variables = model.init({"params": rng, "ransac": rng}, img, img,
+                           train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt = make_optimizer(tcfg.optim, tcfg.batch_size, tcfg.steps_per_epoch)
+    opt_state = opt.init(params)
+    return TrainState(params, batch_stats, opt_state,
+                      jnp.zeros((), jnp.int32)), opt
+
+
+def make_train_step(model: GeoFormer, opt: optax.GradientTransformation,
+                    tcfg: TrainConfig):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: dict with image0/image1 [B,H,W,1], H_0to1/H_1to0 [B,3,3], and
+    optional mask0/mask1 [B,h_c,w_c].
+    """
+    cfg = model.config
+    H, W = tcfg.image_hw
+    wc = W // cfg.coarse_scale
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array):
+        mask0 = batch.get("mask0")
+        mask1 = batch.get("mask1")
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image0"], batch["image1"], mask0=mask0, mask1=mask1,
+                train=True, mutable=["batch_stats"],
+                rngs={"ransac": rng})
+            conf_gt = spvs_coarse_homography(
+                batch["H_0to1"], batch["H_1to0"], (H, W), cfg.coarse_scale,
+                mask0, mask1)
+            fine_gt = spvs_fine_homography(
+                out.matches, batch["H_0to1"], wc, wc, cfg.coarse_scale,
+                cfg.fine_scale, cfg.fine_match.window_size)
+            loss, scalars = geo_loss(
+                out.conf, out.dect_conf, conf_gt, out.fine.fine_conf, fine_gt,
+                out.matches.valid, tcfg.loss, mask0, mask1)
+            scalars["num_inliers"] = out.geo.num_inliers.mean(
+            ).astype(jnp.float32)
+            scalars["num_matches"] = out.matches.valid.sum(-1).mean(
+            ).astype(jnp.float32)
+            return loss, (mut.get("batch_stats", state.batch_stats), scalars)
+
+        grads, (batch_stats, scalars) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        scalars["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, batch_stats, opt_state, state.step + 1), \
+            scalars
+
+    return train_step
+
+
+def shard_train_step(train_step, mesh: Mesh, axis: str = "data"):
+    """jit the step with explicit shardings: state replicated, batch sharded
+    on its leading axis over the mesh. GSPMD inserts the gradient psum."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

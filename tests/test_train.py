@@ -1,0 +1,147 @@
+"""Training stack: supervision labels, loss, one sharded train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from geoformer_tpu.config import (
+    GeoFormerConfig,
+    GeoModuleConfig,
+    LossConfig,
+    MatchConfig,
+    TrainConfig,
+)
+from geoformer_tpu.geometry.homography import warp_points
+from geoformer_tpu.models.coarse_matching import CoarseMatches
+from geoformer_tpu.train.loss import coarse_loss, fine_loss, geo_loss
+from geoformer_tpu.train.supervision import (
+    spvs_coarse_homography,
+    spvs_fine_homography,
+)
+
+
+def test_spvs_coarse_identity_homography():
+    H = jnp.eye(3)[None]
+    conf_gt = spvs_coarse_homography(H, H, (64, 80), 8)
+    l = 8 * 10
+    gt = np.asarray(conf_gt[0])
+    # identity warp -> diagonal matches, except the guarded cell 0
+    assert gt.shape == (l, l)
+    diag = np.diag(gt)
+    assert diag[0] == 0.0
+    assert (diag[1:] == 1.0).all()
+    assert gt.sum() == l - 1
+
+
+def test_spvs_coarse_translation():
+    # shift by exactly 2 coarse cells in x (16 px)
+    H = jnp.asarray(
+        np.array([[[1, 0, 16], [0, 1, 0], [0, 0, 1]]], np.float32))
+    Hinv = jnp.linalg.inv(H)
+    conf_gt = np.asarray(spvs_coarse_homography(H, Hinv, (64, 80), 8)[0])
+    w = 10
+    rows, cols = np.where(conf_gt)
+    for i, j in zip(rows, cols):
+        assert j == i + 2, (i, j)          # same row, +2 cells in x
+        assert (i % w) + 2 == (j % w)
+    # cells whose target is out of bounds have no match
+    assert conf_gt.sum() > 0
+
+
+def test_spvs_coarse_respects_masks():
+    H = jnp.eye(3)[None]
+    mask0 = jnp.zeros((1, 8, 10)).at[:, :4].set(1.0)
+    conf_gt = np.asarray(
+        spvs_coarse_homography(H, H, (64, 80), 8, mask0=mask0)[0])
+    rows, _ = np.where(conf_gt)
+    assert (rows < 40).all()               # only unmasked rows supervised
+
+
+def test_spvs_fine_identity():
+    matches = CoarseMatches(
+        conf=jnp.zeros((1, 80, 80)),
+        i_ids=jnp.asarray([[11, 12]]),
+        j_ids=jnp.asarray([[11, 12]]),
+        valid=jnp.asarray([[True, True]]),
+        mconf=jnp.asarray([[0.9, 0.9]]),
+    )
+    H = jnp.eye(3)[None]
+    label = np.asarray(spvs_fine_homography(matches, H, 10, 10)[0])
+    assert label.shape == (2, 25, 25)
+    # identity: each window matches its center cell... but d=0 exactly is
+    # excluded by the reference's (d > 0) guard, so the label must be empty.
+    assert label.sum() == 0
+
+
+def test_spvs_fine_small_offset():
+    matches = CoarseMatches(
+        conf=jnp.zeros((1, 80, 80)),
+        i_ids=jnp.asarray([[11]]),
+        j_ids=jnp.asarray([[11]]),
+        valid=jnp.asarray([[True]]),
+        mconf=jnp.asarray([[0.9]]),
+    )
+    # 1px translation: nearest fine cell at 1px distance -> labeled positive
+    H = jnp.asarray(np.array([[[1, 0, 1], [0, 1, 0], [0, 0, 1]]], np.float32))
+    label = np.asarray(spvs_fine_homography(matches, H, 10, 10)[0])
+    assert label.sum() == 1.0
+
+
+def test_coarse_loss_focal_decreases_with_confidence():
+    cfg = LossConfig()
+    gt = jnp.zeros((1, 4, 4)).at[0, 1, 1].set(1.0)
+    lo = coarse_loss(jnp.full((1, 4, 4), 0.1), gt, cfg)
+    hi = coarse_loss(jnp.full((1, 4, 4), 0.9), gt, cfg)
+    assert float(hi) < float(lo)
+
+
+def test_fine_loss_ignores_invalid_slots():
+    cfg = LossConfig()
+    conf = jnp.full((1, 2, 4, 4), 0.5)
+    label = jnp.zeros((1, 2, 4, 4)).at[0, 0, 1, 1].set(1.0)
+    both = fine_loss(conf, label, jnp.asarray([[True, True]]), cfg)
+    only0 = fine_loss(conf, label, jnp.asarray([[True, False]]), cfg)
+    # masking slot 1 removes its negatives only; positives identical
+    assert np.isfinite(float(both)) and np.isfinite(float(only0))
+    none = fine_loss(conf, label, jnp.asarray([[False, False]]), cfg)
+    assert float(none) == 0.0
+
+
+def test_single_train_step_runs_and_is_finite():
+    from geoformer_tpu.data.synthetic import make_pair_batch
+    from geoformer_tpu.train.trainer import init_state, make_train_step
+
+    hw = (64, 80)
+    cfg = GeoFormerConfig(
+        match=MatchConfig(max_matches=32, force_one_match=True),
+        geo=GeoModuleConfig(ransac_iters=32, max_inliers=32),
+    )
+    tcfg = TrainConfig(batch_size=2, image_hw=hw, steps_per_epoch=10)
+    model_ = __import__("geoformer_tpu.models", fromlist=["GeoFormer"])
+    model = model_.GeoFormer(cfg)
+    state, opt = init_state(model, tcfg, jax.random.key(0))
+    step = make_train_step(model, opt, tcfg)
+
+    base = jnp.asarray(np.random.default_rng(0).random((2, *hw), np.float32))
+    batch = make_pair_batch(base, jax.random.key(1))
+    jstep = jax.jit(step)
+    state2, metrics = jstep(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    # Warmup LR at the first steps is ~1e-9 (canonical 6e-3 scaled by
+    # bs/64 over 4800/scaling steps) — too small to move f32 weights — so
+    # assert on the optimizer moments instead: gradients flowed and were
+    # accumulated.
+    state3, metrics3 = jstep(state2, batch, jax.random.key(3))
+    assert int(state3.step) == 2
+    assert np.isfinite(float(metrics3["loss"]))
+    mu_norm = optax.global_norm(state3.opt_state)
+    assert np.isfinite(float(mu_norm)) and float(mu_norm) > 0.0
+
+
+def test_multidevice_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(min(4, len(jax.devices())))
