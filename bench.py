@@ -46,18 +46,26 @@ def main():
     def fwd(params, i0, i1):
         return model.apply(params, i0, i1, rngs={"ransac": jax.random.key(0)})
 
-    # warmup / compile
+    # warmup / compile. A host fetch (not just block_until_ready) closes the
+    # loop — experimental PJRT plugins have been observed to return from
+    # block_until_ready before execution completes.
+    t0 = time.perf_counter()
     out = fwd(params, img0, img1)
-    jax.block_until_ready(out)
+    float(out.fine.mconf.sum())
+    compile_s = time.perf_counter() - t0
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, img0, img1)
-    jax.block_until_ready(out)
+    float(out.fine.mconf.sum())
     dt = time.perf_counter() - t0
 
     pairs_per_s = B * iters / dt
+    import sys
+
+    print(f"# compile+first: {compile_s:.1f}s  steady: "
+          f"{1e3 * dt / (B * iters):.2f} ms/pair", file=sys.stderr, flush=True)
     baseline = 5.0  # reference ~5 pairs/s/GPU at 480px (no published number)
     print(json.dumps({
         "metric": "matched_pairs_per_s_per_chip_480px",

@@ -46,8 +46,8 @@ class EncoderLayer(nn.Module):
                              dtype=self.dtype, name="mlp0")
         self.mlp1 = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
                              name="mlp1")
-        self.norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
-        self.norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
 
     def _heads(self, x):
         return x.reshape(*x.shape[:-1], self.nhead, self.d_model // self.nhead)

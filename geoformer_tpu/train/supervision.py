@@ -14,6 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from geoformer_tpu.geometry.depth import warp_kpts_depth
 from geoformer_tpu.geometry.homography import warp_points
 from geoformer_tpu.models.coarse_matching import CoarseMatches, match_coords
 
@@ -57,6 +58,60 @@ def spvs_coarse_homography(
 
     w_pt0_c = warp_points(grid0, H_0to1) / coarse_scale          # cells in im1
     w_pt1_c = warp_points(grid1, H_1to0) / coarse_scale
+    return _coarse_gt_from_warps(w_pt0_c, w_pt1_c, (h0, w0), (h1, w1))
+
+
+def spvs_coarse_depth(
+    depth0: jax.Array,
+    depth1: jax.Array,
+    T_0to1: jax.Array,
+    T_1to0: jax.Array,
+    K0: jax.Array,
+    K1: jax.Array,
+    image_hw,
+    coarse_scale: int = 8,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+    scale0: Optional[jax.Array] = None,
+    scale1: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Depth-supervised coarse GT (MegaDepth/ScanNet branch of spvs_coarse,
+    supervision.py:40-76): same cycle-consistency construction, with the warp
+    going through depth lift + relative pose (geometry/depth.warp_kpts_depth)
+    in ORIGINAL image coordinates — ``scale0``/``scale1`` [B, 2] are the
+    (orig/resized) factors from the resize step, matching the reference's
+    ``scale0 = scale * data['scale0']``. Invalid warps are pushed far out of
+    bounds so they can never win a cell.
+    """
+    Himg, Wimg = image_hw
+    h0 = h1 = Himg // coarse_scale
+    w0 = w1 = Wimg // coarse_scale
+    l0, l1 = h0 * w0, h1 * w1
+    b = depth0.shape[0]
+    s0 = jnp.ones((b, 1, 2)) if scale0 is None else scale0[:, None, :]
+    s1 = jnp.ones((b, 1, 2)) if scale1 is None else scale1[:, None, :]
+
+    grid0 = jnp.broadcast_to(
+        match_coords(jnp.arange(l0), w0, coarse_scale)[None], (b, l0, 2))
+    grid1 = jnp.broadcast_to(
+        match_coords(jnp.arange(l1), w1, coarse_scale)[None], (b, l1, 2))
+    if mask0 is not None:
+        grid0 = grid0 * mask0.reshape(b, l0, 1)
+    if mask1 is not None:
+        grid1 = grid1 * mask1.reshape(b, l1, 1)
+
+    v0, w_pt0 = warp_kpts_depth(grid0 * s0, depth0, depth1, T_0to1, K0, K1)
+    v1, w_pt1 = warp_kpts_depth(grid1 * s1, depth1, depth0, T_1to0, K1, K0)
+    w_pt0 = jnp.where(v0[..., None], w_pt0, -1e6) / (coarse_scale * s1)
+    w_pt1 = jnp.where(v1[..., None], w_pt1, -1e6) / (coarse_scale * s0)
+    return _coarse_gt_from_warps(w_pt0, w_pt1, (h0, w0), (h1, w1))
+
+
+def _coarse_gt_from_warps(w_pt0_c, w_pt1_c, hw0_c, hw1_c) -> jax.Array:
+    h0, w0 = hw0_c
+    h1, w1 = hw1_c
+    l0, l1 = h0 * w0, h1 * w1
+    b = w_pt0_c.shape[0]
 
     def nearest(pts, w, h, l):
         r = jnp.round(pts).astype(jnp.int32)
@@ -112,7 +167,51 @@ def spvs_fine_homography(
 
     w_pt0 = warp_points(kpts0.reshape(b, m * ww, 2), H_0to1).reshape(
         b, m, ww, 2)
+    return _fine_label_from_warp(w_pt0, kpts1, window, dist_thr)
 
+
+def spvs_fine_depth(
+    matches: CoarseMatches,
+    depth0: jax.Array,
+    depth1: jax.Array,
+    T_0to1: jax.Array,
+    K0: jax.Array,
+    K1: jax.Array,
+    grid_w0: int,
+    grid_w1: int,
+    coarse_scale: int = 8,
+    fine_scale: int = 2,
+    window: int = 5,
+    dist_thr: float = 3.0,
+    scale0: Optional[jax.Array] = None,
+    scale1: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Depth branch of spvs_fine2 (supervision.py:319-330): window points of
+    image0 (in ORIGINAL resolution via scale0/scale1 [B, 2]) warped through
+    depth+pose; invalid warps pushed to -1e5 (the reference's -100000 fill)
+    so they never label a positive. The 3 px distance threshold applies in
+    original-resolution pixels, exactly as in the reference."""
+    b, m = matches.i_ids.shape
+    ww = window * window
+    r = window // 2
+    s0 = jnp.ones((b, 1, 1, 2)) if scale0 is None else scale0[:, None, None, :]
+    s1 = jnp.ones((b, 1, 1, 2)) if scale1 is None else scale1[:, None, None, :]
+    centers0 = match_coords(matches.i_ids, grid_w0, coarse_scale)
+    centers1 = match_coords(matches.j_ids, grid_w1, coarse_scale)
+    gy, gx = jnp.meshgrid(jnp.arange(window), jnp.arange(window), indexing="ij")
+    off = jnp.stack([gx.reshape(-1) - r, gy.reshape(-1) - r], -1).astype(
+        jnp.float32) * fine_scale
+    kpts0 = (centers0[:, :, None, :] + off[None, None]) * s0
+    kpts1 = (centers1[:, :, None, :] + off[None, None]) * s1
+
+    v0, w_pt0 = warp_kpts_depth(kpts0.reshape(b, m * ww, 2), depth0, depth1,
+                                T_0to1, K0, K1)
+    w_pt0 = jnp.where(v0[..., None], w_pt0, -1e5).reshape(b, m, ww, 2)
+    return _fine_label_from_warp(w_pt0, kpts1, window, dist_thr)
+
+
+def _fine_label_from_warp(w_pt0, kpts1, window, dist_thr) -> jax.Array:
+    b, m, ww, _ = w_pt0.shape
     d = jnp.sqrt(((w_pt0[:, :, :, None, :] - kpts1[:, :, None, :, :]) ** 2)
                  .sum(-1) + 0.0)                                   # [B,M,WW,WW]
     flat = d.reshape(b, m, ww * ww)

@@ -23,7 +23,9 @@ from geoformer_tpu.models import GeoFormer
 from geoformer_tpu.train.loss import geo_loss
 from geoformer_tpu.train.optim import make_optimizer
 from geoformer_tpu.train.supervision import (
+    spvs_coarse_depth,
     spvs_coarse_homography,
+    spvs_fine_depth,
     spvs_fine_homography,
 )
 
@@ -82,6 +84,58 @@ def make_train_step(model: GeoFormer, opt: optax.GradientTransformation,
                 out.matches.valid, tcfg.loss, mask0, mask1)
             scalars["num_inliers"] = out.geo.num_inliers.mean(
             ).astype(jnp.float32)
+            scalars["num_matches"] = out.matches.valid.sum(-1).mean(
+            ).astype(jnp.float32)
+            return loss, (mut.get("batch_stats", state.batch_stats), scalars)
+
+        grads, (batch_stats, scalars) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        scalars["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, batch_stats, opt_state, state.step + 1), \
+            scalars
+
+    return train_step
+
+
+def make_depth_train_step(model: GeoFormer, opt: optax.GradientTransformation,
+                          tcfg: TrainConfig):
+    """Depth-supervised (MegaDepth/ScanNet) train step.
+
+    batch: image0/image1 [B,H,W,1], depth0/depth1 [B,Hd,Wd], T_0to1/T_1to0
+    [B,4,4], K0/K1 [B,3,3], scale0/scale1 [B,2], mask0/mask1 [B,h_c,w_c].
+    Mirrors PL_GeoFormer's training path (reference:
+    lightning/lightning_depth_geoformer.py:27-93).
+    """
+    cfg = model.config
+    H, W = tcfg.image_hw
+    wc = W // cfg.coarse_scale
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array):
+        mask0 = batch.get("mask0")
+        mask1 = batch.get("mask1")
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image0"], batch["image1"], mask0=mask0, mask1=mask1,
+                train=True, mutable=["batch_stats"], rngs={"ransac": rng})
+            conf_gt = spvs_coarse_depth(
+                batch["depth0"], batch["depth1"], batch["T_0to1"],
+                batch["T_1to0"], batch["K0"], batch["K1"], (H, W),
+                cfg.coarse_scale, mask0, mask1,
+                batch.get("scale0"), batch.get("scale1"))
+            fine_gt = spvs_fine_depth(
+                out.matches, batch["depth0"], batch["depth1"],
+                batch["T_0to1"], batch["K0"], batch["K1"], wc, wc,
+                cfg.coarse_scale, cfg.fine_scale,
+                cfg.fine_match.window_size,
+                scale0=batch.get("scale0"), scale1=batch.get("scale1"))
+            loss, scalars = geo_loss(
+                out.conf, out.dect_conf, conf_gt, out.fine.fine_conf, fine_gt,
+                out.matches.valid, tcfg.loss, mask0, mask1)
             scalars["num_matches"] = out.matches.valid.sum(-1).mean(
             ).astype(jnp.float32)
             return loss, (mut.get("batch_stats", state.batch_stats), scalars)

@@ -145,3 +145,40 @@ def test_multidevice_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(4, len(jax.devices())))
+
+
+def test_depth_train_step_runs():
+    from geoformer_tpu.train.trainer import init_state, make_depth_train_step
+
+    hw = (64, 80)
+    cfg = GeoFormerConfig(
+        match=MatchConfig(max_matches=32, force_one_match=True),
+        geo=GeoModuleConfig(ransac_iters=32, max_inliers=32),
+    )
+    tcfg = TrainConfig(batch_size=2, image_hw=hw, steps_per_epoch=10)
+    from geoformer_tpu.models import GeoFormer
+
+    model = GeoFormer(cfg)
+    state, opt = init_state(model, tcfg, jax.random.key(0))
+    step = make_depth_train_step(model, opt, tcfg)
+
+    rng = np.random.default_rng(0)
+    b = 2
+    K = np.array([[100.0, 0, 40], [0, 100, 32], [0, 0, 1]], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.5
+    batch = {
+        "image0": jnp.asarray(rng.random((b, *hw, 1), np.float32)),
+        "image1": jnp.asarray(rng.random((b, *hw, 1), np.float32)),
+        "depth0": jnp.full((b, *hw), 5.0),
+        "depth1": jnp.full((b, *hw), 5.0),
+        "T_0to1": jnp.asarray(np.tile(T, (b, 1, 1))),
+        "T_1to0": jnp.asarray(np.tile(np.linalg.inv(T), (b, 1, 1))),
+        "K0": jnp.asarray(np.tile(K, (b, 1, 1))),
+        "K1": jnp.asarray(np.tile(K, (b, 1, 1))),
+        "scale0": jnp.ones((b, 2)),
+        "scale1": jnp.ones((b, 2)),
+    }
+    state2, metrics = jax.jit(step)(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"])), metrics
+    assert int(state2.step) == 1
