@@ -66,6 +66,8 @@ def cmd_train(args):
         log_every=args.log_every,
         seed=args.seed,
         model_cfg=model_cfg,
+        lr=args.lr,
+        warmup_steps=args.warmup,
     )
 
 
@@ -136,6 +138,10 @@ def main():
     t.add_argument("--max-matches", type=int, default=512)
     t.add_argument("--gam-ransac-iters", type=int, default=256)
     t.add_argument("--gam-max-inliers", type=int, default=512)
+    t.add_argument("--lr", type=float, default=0.0,
+                   help="override true LR (default: canonical*bs/64)")
+    t.add_argument("--warmup", type=int, default=0,
+                   help="override warmup in actual steps")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval")

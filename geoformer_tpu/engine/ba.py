@@ -1,0 +1,201 @@
+"""Bundle adjustment: Levenberg-damped Gauss-Newton with Schur complement.
+
+The engine-layer capability the reference lacks (BASELINE.json north star):
+correspondences from the matcher feed a native, jit-compiled BA solver.
+Design is TPU-first:
+
+  * per-observation projection Jacobians via vmapped forward-mode autodiff,
+  * block accumulation (U per camera, V per point, W per observation) with
+    segment_sum — no sparse matrices,
+  * Schur complement: point blocks (3x3) are batch-inverted, the reduced
+    camera system S [6C, 6C] is assembled with dense einsums (MXU-friendly),
+  * fixed shapes: observations arrive capacity-padded with a validity mask,
+  * distribution: observations/points shard over the mesh data axis; the
+    reduced system is psum'd (see ba_solve_sharded) — the Schur-reduction-
+    over-collectives design from SURVEY.md §7.2 step 9.
+
+Cameras are world->camera SE(3), parameterized by local se(3) updates
+(left-multiplied). Camera 0 is gauge-fixed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from geoformer_tpu.engine.lie import se3_apply, se3_exp
+
+
+class BAProblem(NamedTuple):
+    cams: jax.Array     # [C, 4, 4] world->cam
+    points: jax.Array   # [P, 3]
+    K: jax.Array        # [3, 3] shared intrinsics
+    obs_cam: jax.Array  # [N] int32
+    obs_pt: jax.Array   # [N] int32
+    obs_uv: jax.Array   # [N, 2]
+    obs_valid: jax.Array  # [N] bool
+
+
+def _project(cam_T, pt, K):
+    """World point -> pixel. cam_T [4,4], pt [3], K [3,3] -> [2]."""
+    pc = cam_T[:3, :3] @ pt + cam_T[:3, 3]
+    z = jnp.maximum(pc[2], 1e-6)
+    uv = K @ (pc / z)
+    return uv[:2]
+
+
+def _residual(xi_c, dp, cam_T, pt, uv, K):
+    """Residual at local update (xi_c for the camera, dp for the point)."""
+    T = se3_exp(xi_c) @ cam_T
+    return _project(T, pt + dp, K) - uv
+
+
+def reprojection_errors(prob: BAProblem) -> jax.Array:
+    """[N] pixel errors (padding slots -> 0)."""
+    cams = prob.cams[prob.obs_cam]
+    pts = prob.points[prob.obs_pt]
+    uv = jax.vmap(_project, in_axes=(0, 0, None))(cams, pts, prob.K)
+    err = jnp.linalg.norm(uv - prob.obs_uv, axis=-1)
+    return jnp.where(prob.obs_valid, err, 0.0)
+
+
+def _build_normal_blocks(prob: BAProblem):
+    """Per-observation Jacobians and residuals."""
+    cams = prob.cams[prob.obs_cam]
+    pts = prob.points[prob.obs_pt]
+
+    def per_obs(cam_T, pt, uv):
+        r = _residual(jnp.zeros(6), jnp.zeros(3), cam_T, pt, uv, prob.K)
+        Jc = jax.jacfwd(_residual, argnums=0)(
+            jnp.zeros(6), jnp.zeros(3), cam_T, pt, uv, prob.K)   # [2, 6]
+        Jp = jax.jacfwd(_residual, argnums=1)(
+            jnp.zeros(6), jnp.zeros(3), cam_T, pt, uv, prob.K)   # [2, 3]
+        return r, Jc, Jp
+
+    r, Jc, Jp = jax.vmap(per_obs)(cams, pts, prob.obs_uv)
+    w = prob.obs_valid.astype(r.dtype)[:, None]
+    return r * w, Jc * w[..., None], Jp * w[..., None]
+
+
+def _normal_system(p: BAProblem, C: int, P: int, reduce_fn=None):
+    """Accumulate the normal-equation blocks from (possibly sharded)
+    observations. ``reduce_fn`` sums partial blocks across devices (psum)."""
+    hp = jax.lax.Precision.HIGHEST
+    r, Jc, Jp = _build_normal_blocks(p)
+    U = jax.ops.segment_sum(
+        jnp.einsum("nri,nrj->nij", Jc, Jc, precision=hp),
+        p.obs_cam, C)                                       # [C, 6, 6]
+    V = jax.ops.segment_sum(
+        jnp.einsum("nri,nrj->nij", Jp, Jp, precision=hp),
+        p.obs_pt, P)                                        # [P, 3, 3]
+    bc = -jax.ops.segment_sum(
+        jnp.einsum("nri,nr->ni", Jc, r, precision=hp), p.obs_cam, C)
+    bp = -jax.ops.segment_sum(
+        jnp.einsum("nri,nr->ni", Jp, r, precision=hp), p.obs_pt, P)
+    Wn = jnp.einsum("nri,nrj->nij", Jc, Jp, precision=hp)   # [N, 6, 3]
+    cp = p.obs_cam * P + p.obs_pt
+    Wfull = jax.ops.segment_sum(Wn, cp, C * P).reshape(C, P, 6, 3)
+    err2 = (r ** 2).sum()
+    nv = p.obs_valid.sum()
+    if reduce_fn is not None:
+        U, V, bc, bp, Wfull, err2, nv = jax.tree.map(
+            reduce_fn, (U, V, bc, bp, Wfull, err2, nv))
+    return U, V, bc, bp, Wfull, err2, nv
+
+
+@partial(jax.jit, static_argnames=("iters", "n_cams", "n_points"))
+def ba_solve(prob: BAProblem, iters: int = 10, damping: float = 1e-3,
+             n_cams: int = 0, n_points: int = 0):
+    """Run LM-damped Gauss-Newton BA. Returns (cams, points, rmse_history).
+
+    n_cams/n_points default to the array sizes (static).
+    """
+    return _ba_solve_impl(prob, iters, damping,
+                          n_cams or prob.cams.shape[0],
+                          n_points or prob.points.shape[0], None)
+
+
+def _ba_solve_impl(prob: BAProblem, iters: int, damping: float, C: int,
+                   P: int, reduce_fn):
+    hp = jax.lax.Precision.HIGHEST
+
+    def gn_step(state, _):
+        cams, points = state
+        p = prob._replace(cams=cams, points=points)
+        U, V, bc, bp, Wfull, _, _ = _normal_system(p, C, P, reduce_fn)
+
+        lamV = V + damping * jnp.eye(3)[None]
+        Vinv = jnp.linalg.inv(lamV)                         # [P, 3, 3]
+
+        # Schur complement of the point blocks.
+        WVinv = jnp.einsum("cpij,pjk->cpik", Wfull, Vinv, precision=hp)
+        S = jnp.einsum("cpik,dplk->cidl", WVinv, Wfull,
+                       precision=hp)                        # [C, 6, C, 6]
+        S = (U + damping * jnp.eye(6)[None]) \
+            .reshape(C, 6, 1, 6) * jnp.eye(C)[:, None, :, None] - S
+        rhs = bc - jnp.einsum("cpik,pk->ci", WVinv, bp, precision=hp)
+
+        # Gauge fix: freeze camera 0 by pinning its block to identity.
+        Sm = S.reshape(C * 6, C * 6)
+        mask = jnp.arange(C * 6) >= 6
+        Sm = jnp.where(mask[:, None] & mask[None, :], Sm, 0.0)
+        Sm = Sm + jnp.diag(jnp.where(mask, 0.0, 1.0))
+        rhs_m = jnp.where(mask, rhs.reshape(-1), 0.0)
+
+        dx_c = jnp.linalg.solve(Sm, rhs_m).reshape(C, 6)
+        dx_p = jnp.einsum(
+            "pij,pj->pi", Vinv,
+            bp - jnp.einsum("cpij,ci->pj", Wfull, dx_c, precision=hp))
+
+        new_cams = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx_c, cams)
+        new_points = points + dx_p
+
+        # accept only if error decreases (simple LM guard)
+        def global_rmse(pp):
+            e2 = (reprojection_errors(pp) ** 2).sum()
+            nv = pp.obs_valid.sum()
+            if reduce_fn is not None:
+                e2, nv = reduce_fn(e2), reduce_fn(nv)
+            return jnp.sqrt(e2 / jnp.maximum(nv, 1))
+
+        rmse_old = global_rmse(p)
+        rmse_new = global_rmse(p._replace(cams=new_cams, points=new_points))
+        accept = rmse_new < rmse_old
+        cams = jnp.where(accept, new_cams, cams)
+        points = jnp.where(accept, new_points, points)
+        return (cams, points), jnp.minimum(rmse_new, rmse_old)
+
+    (cams, points), hist = jax.lax.scan(
+        gn_step, (prob.cams, prob.points), None, length=iters)
+    return cams, points, hist
+
+
+def ba_solve_sharded(prob: BAProblem, mesh, iters: int = 10,
+                     damping: float = 1e-3, axis: str = "data"):
+    """Distributed BA: observations shard over the mesh ``axis``; the reduced
+    camera system is psum'd across devices and solved replicated (Schur
+    reduction over collectives, SURVEY.md §7.2 step 9).
+
+    ``prob.obs_*`` leading dims must be divisible by the mesh size.
+    """
+    from jax.sharding import PartitionSpec as P_
+
+    C = prob.cams.shape[0]
+    P = prob.points.shape[0]
+
+    def local(cams, points, K, obs_cam, obs_pt, obs_uv, obs_valid):
+        lp = BAProblem(cams, points, K, obs_cam, obs_pt, obs_uv, obs_valid)
+        return _ba_solve_impl(lp, iters, damping, C, P,
+                              lambda x: jax.lax.psum(x, axis))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P_(), P_(), P_(), P_(axis), P_(axis), P_(axis), P_(axis)),
+        out_specs=(P_(), P_(), P_()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(prob.cams, prob.points, prob.K, prob.obs_cam,
+                       prob.obs_pt, prob.obs_uv, prob.obs_valid)

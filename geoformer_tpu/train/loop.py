@@ -45,6 +45,8 @@ def run_training(
     seed: int = 66,
     match_capacity: int = 512,
     model_cfg: Optional[GeoFormerConfig] = None,
+    lr: float = 0.0,
+    warmup_steps: int = 0,
 ):
     devices = np.array(jax.devices())
     mesh = Mesh(devices, ("data",))
@@ -55,8 +57,19 @@ def run_training(
         match=MatchConfig(max_matches=match_capacity, force_one_match=True),
         geo=GeoModuleConfig(ransac_iters=256, max_inliers=512),
     )
+    from geoformer_tpu.config import OptimConfig
+    import dataclasses as _dc
+
+    optim = OptimConfig()
+    if lr > 0:
+        optim = _dc.replace(optim, true_lr=lr)
+    if warmup_steps > 0:
+        # interpret as actual steps: undo the canonical-batch scaling divide
+        optim = _dc.replace(
+            optim, warmup_steps=int(warmup_steps * batch_size / 64))
     tcfg = TrainConfig(batch_size=batch_size, image_hw=image_hw, seed=seed,
-                       steps_per_epoch=max(1, steps // 15))
+                       steps_per_epoch=max(1, steps // 15),
+                       optim=optim)
     model = GeoFormer(cfg)
     key = jax.random.key(seed)
     state, opt = init_state(model, tcfg, key)

@@ -1,0 +1,194 @@
+"""Engine layer: Lie maps, bundle adjustment, pose graph, ATE."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoformer_tpu.engine.ba import BAProblem, ba_solve, reprojection_errors
+from geoformer_tpu.engine.lie import se3_apply, se3_exp, se3_log
+from geoformer_tpu.engine.pose_graph import PoseGraph, optimize_pose_graph
+from geoformer_tpu.engine.trajectory import (
+    align_umeyama,
+    ate_rmse,
+    camera_centers,
+)
+
+
+def test_se3_exp_log_roundtrip():
+    rng = np.random.default_rng(0)
+    xi = jnp.asarray(rng.normal(scale=0.5, size=(16, 6)).astype(np.float32))
+    T = se3_exp(xi)
+    back = se3_log(T)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xi), atol=1e-4)
+    # homogeneous structure
+    np.testing.assert_allclose(np.asarray(T[:, 3]), np.tile([0, 0, 0, 1],
+                                                            (16, 1)), atol=0)
+    # rotation orthogonality
+    R = np.asarray(T[:, :3, :3])
+    np.testing.assert_allclose(R @ np.transpose(R, (0, 2, 1)),
+                               np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+
+
+def _make_ba_problem(rng, C=6, P=80, noise_px=0.0, pose_noise=0.0,
+                     point_noise=0.0):
+    K = jnp.asarray(np.array([[300.0, 0, 160], [0, 300, 120], [0, 0, 1]],
+                             np.float32))
+    points = rng.uniform([-2, -2, 6], [2, 2, 10], (P, 3)).astype(np.float32)
+    cams_gt = []
+    for i in range(C):
+        xi = np.zeros(6, np.float32)
+        xi[3] = 0.3 * i          # translate along x
+        xi[1] = 0.02 * i         # slight rotation
+        cams_gt.append(np.asarray(se3_exp(jnp.asarray(xi))))
+    cams_gt = np.stack(cams_gt)
+
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for c in range(C):
+        pc = points @ cams_gt[c, :3, :3].T + cams_gt[c, :3, 3]
+        uv = (pc / pc[:, 2:]) @ np.asarray(K).T
+        for p in range(P):
+            obs_cam.append(c)
+            obs_pt.append(p)
+            obs_uv.append(uv[p, :2] + rng.normal(0, noise_px, 2))
+    prob_gt = BAProblem(
+        cams=jnp.asarray(cams_gt),
+        points=jnp.asarray(points),
+        K=K,
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(np.asarray(obs_uv, np.float32)),
+        obs_valid=jnp.ones(len(obs_cam), bool),
+    )
+    # perturb initialization
+    dxi = rng.normal(0, pose_noise, (C, 6)).astype(np.float32)
+    dxi[0] = 0  # gauge
+    cams0 = jnp.asarray(np.stack([
+        np.asarray(se3_exp(jnp.asarray(dxi[i]))) @ cams_gt[i]
+        for i in range(C)]))
+    pts0 = jnp.asarray(points + rng.normal(0, point_noise,
+                                           (P, 3)).astype(np.float32))
+    return prob_gt._replace(cams=cams0, points=pts0), cams_gt
+
+
+def test_ba_converges_from_noisy_init():
+    rng = np.random.default_rng(1)
+    prob, cams_gt = _make_ba_problem(rng, pose_noise=0.02, point_noise=0.05)
+    err0 = float(jnp.sqrt((reprojection_errors(prob) ** 2).mean()))
+    cams, points, hist = ba_solve(prob, iters=12)
+    final = prob._replace(cams=cams, points=points)
+    err1 = float(jnp.sqrt((reprojection_errors(final) ** 2).mean()))
+    assert err0 > 1.0, err0
+    assert err1 < 0.05, (err0, err1)
+    # trajectory matches GT up to the (fixed) gauge
+    ate = float(ate_rmse(camera_centers(cams),
+                         camera_centers(jnp.asarray(cams_gt))))
+    assert ate < 0.01, ate
+
+
+def test_ba_respects_validity_padding():
+    rng = np.random.default_rng(2)
+    prob, _ = _make_ba_problem(rng, pose_noise=0.01, point_noise=0.02)
+    # corrupt half the observations but mark them invalid
+    n = prob.obs_uv.shape[0]
+    bad = jnp.arange(n) % 2 == 1
+    uv = jnp.where(bad[:, None], prob.obs_uv + 500.0, prob.obs_uv)
+    prob2 = prob._replace(obs_uv=uv, obs_valid=~bad)
+    cams, points, _ = ba_solve(prob2, iters=10)
+    final = prob2._replace(cams=cams, points=points)
+    err = np.asarray(reprojection_errors(final))
+    valid_err = err[np.asarray(~bad)]
+    assert float(np.sqrt((valid_err ** 2).mean())) < 0.05
+
+
+def test_pose_graph_closes_loop():
+    rng = np.random.default_rng(3)
+    K = 8
+    # GT: poses around a loop
+    xis = [np.zeros(6, np.float32)]
+    for i in range(1, K):
+        xi = np.array([0, 0, 0.1, 0.5, 0.05, 0], np.float32)
+        xis.append(xi)
+    poses_gt = [np.eye(4, dtype=np.float32)]
+    for i in range(1, K):
+        poses_gt.append(np.asarray(se3_exp(jnp.asarray(xis[i]))) @
+                        poses_gt[i - 1])
+    poses_gt = np.stack(poses_gt)
+
+    # noisy odometry edges + one exact loop closure 0->K-1
+    ei, ej, eT = [], [], []
+    for i in range(K - 1):
+        noise = np.asarray(se3_exp(jnp.asarray(
+            rng.normal(0, 0.01, 6).astype(np.float32))))
+        eT.append(noise @ poses_gt[i + 1] @ np.linalg.inv(poses_gt[i]))
+        ei.append(i)
+        ej.append(i + 1)
+    ei.append(0)
+    ej.append(K - 1)
+    eT.append(poses_gt[K - 1] @ np.linalg.inv(poses_gt[0]))
+
+    # init: integrate noisy odometry
+    poses0 = [np.eye(4, dtype=np.float32)]
+    for i in range(K - 1):
+        poses0.append(eT[i] @ poses0[i])
+    poses0 = np.stack(poses0)
+
+    graph = PoseGraph(
+        poses=jnp.asarray(poses0),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        edge_T=jnp.asarray(np.stack(eT)),
+        edge_valid=jnp.ones(len(ei), bool),
+        edge_weight=jnp.where(jnp.arange(len(ei)) == len(ei) - 1, 10.0, 1.0),
+    )
+    opt, hist = optimize_pose_graph(graph, iters=10)
+    ate0 = float(ate_rmse(camera_centers(jnp.asarray(poses0)),
+                          camera_centers(jnp.asarray(poses_gt)), align=False))
+    ate1 = float(ate_rmse(camera_centers(opt),
+                          camera_centers(jnp.asarray(poses_gt)), align=False))
+    assert ate1 < ate0, (ate0, ate1)
+    assert ate1 < 0.05, ate1
+
+
+def test_umeyama_alignment():
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(30, 3)).astype(np.float32)
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    gt = 2.0 * pts @ R.T + np.array([1, 2, 3], np.float32)
+    s, Re, t = align_umeyama(jnp.asarray(pts), jnp.asarray(gt))
+    assert abs(float(s) - 2.0) < 1e-4
+    ate = float(ate_rmse(jnp.asarray(pts), jnp.asarray(gt)))
+    assert ate < 1e-4
+
+
+def test_ba_sharded_matches_single_device():
+    from jax.sharding import Mesh
+
+    from geoformer_tpu.engine.ba import ba_solve_sharded
+
+    rng = np.random.default_rng(5)
+    prob, cams_gt = _make_ba_problem(rng, C=4, P=64, pose_noise=0.02,
+                                     point_noise=0.05)
+    n_dev = min(4, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    # pad observation count to a multiple of the mesh
+    n = prob.obs_uv.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        prob = prob._replace(
+            obs_cam=jnp.pad(prob.obs_cam, (0, pad)),
+            obs_pt=jnp.pad(prob.obs_pt, (0, pad)),
+            obs_uv=jnp.pad(prob.obs_uv, ((0, pad), (0, 0))),
+            obs_valid=jnp.pad(prob.obs_valid, (0, pad)),
+        )
+    cams_s, pts_s, hist_s = ba_solve_sharded(prob, mesh, iters=10)
+    cams_r, pts_r, hist_r = ba_solve(prob, iters=10)
+    # f32 summation order differs across shards; agreement to ~1e-3 over 10
+    # GN iterations is expected, the reprojection check below is the anchor
+    np.testing.assert_allclose(np.asarray(cams_s), np.asarray(cams_r),
+                               rtol=1e-2, atol=5e-3)
+    final = prob._replace(cams=cams_s, points=pts_s)
+    err = float(jnp.sqrt((reprojection_errors(final) ** 2).sum()
+                         / prob.obs_valid.sum()))
+    assert err < 0.05, err
