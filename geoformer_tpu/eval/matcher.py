@@ -35,13 +35,31 @@ def resize_shape(wo: int, ho: int, imsize: Optional[int], dfactor: int = 8,
     return wt, ht, (wo / wt, ho / ht)
 
 
-def load_gray(path: str, imsize: Optional[int], dfactor: int = 8
+def enhance_retinal(im: np.ndarray) -> np.ndarray:
+    """Retinal image enhancement: normalize -> CLAHE -> gamma 1.2
+    (reference: utils/common_utils.py:210-246). uint8 in, uint8 out."""
+    import cv2
+
+    x = im.astype(np.float64)
+    x = (x - x.mean()) / (x.std() + 1e-6)
+    x = (x - x.min()) / (x.max() - x.min()) * 255
+    clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    x = clahe.apply(x.astype(np.uint8))
+    inv = 1.0 / 1.2
+    table = (((np.arange(256) / 255.0) ** inv) * 255).astype(np.uint8)
+    return cv2.LUT(x, table)
+
+
+def load_gray(path: str, imsize: Optional[int], dfactor: int = 8,
+              enhanced: bool = False
               ) -> Tuple[np.ndarray, Tuple[float, float]]:
     import cv2
 
     im = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if im is None:
         raise FileNotFoundError(f"cannot read image: {path}")
+    if enhanced:
+        im = enhance_retinal(im)
     ho, wo = im.shape
     wt, ht, scale = resize_shape(wo, ho, imsize, dfactor)
     im = cv2.resize(im, (wt, ht))

@@ -192,3 +192,69 @@ def test_ba_sharded_matches_single_device():
     err = float(jnp.sqrt((reprojection_errors(final) ** 2).sum()
                          / prob.obs_valid.sum()))
     assert err < 0.05, err
+
+
+def test_triangulation_exact():
+    from geoformer_tpu.engine.sfm import triangulate
+
+    rng = np.random.default_rng(6)
+    K = jnp.asarray(np.array([[300.0, 0, 160], [0, 300, 120], [0, 0, 1]],
+                             np.float32))
+    T0 = jnp.eye(4)
+    T1 = se3_exp(jnp.asarray(np.array([0, 0.05, 0, 0.8, 0, 0], np.float32)))
+    pts = jnp.asarray(rng.uniform([-2, -2, 6], [2, 2, 10],
+                                  (40, 3)).astype(np.float32))
+
+    def proj(T, X):
+        pc = T[:3, :3] @ X + T[:3, 3]
+        uv = K @ (pc / pc[2])
+        return uv[:2]
+
+    uv0 = jax.vmap(lambda X: proj(T0, X))(pts)
+    uv1 = jax.vmap(lambda X: proj(T1, X))(pts)
+    X = triangulate(T0, T1, K, uv0, uv1)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(pts), atol=5e-2)
+
+
+def test_track_chaining_and_e2e_ba():
+    from geoformer_tpu.engine.sfm import build_ba_problem, chain_tracks
+
+    rng = np.random.default_rng(7)
+    K = np.array([[300.0, 0, 160], [0, 300, 120], [0, 0, 1]], np.float32)
+    C, P = 5, 60
+    pts = rng.uniform([-2, -2, 6], [2, 2, 10], (P, 3)).astype(np.float32)
+    cams = []
+    for i in range(C):
+        xi = np.zeros(6, np.float32)
+        xi[3] = 0.25 * i
+        cams.append(np.asarray(se3_exp(jnp.asarray(xi))))
+    cams = np.stack(cams)
+
+    def proj(T, X):
+        pc = X @ T[:3, :3].T + T[:3, 3]
+        return (pc / pc[:, 2:]) @ K.T
+
+    uvs = [proj(cams[c], pts)[:, :2] for c in range(C)]
+    pair_matches = [(uvs[i], uvs[i + 1]) for i in range(C - 1)]
+    tracks = chain_tracks(pair_matches, cell=8.0)
+    # grid-cell key collisions may break a few tracks; the bulk must chain
+    full = [t for t in tracks if len(t) == C]
+    assert len(full) >= int(0.85 * P), (len(tracks), len(full))
+    tracks = full
+
+    prob = build_ba_problem(cams, K, tracks, max_points=64, max_obs=512)
+    errs = reprojection_errors(prob)
+    rmse = float(jnp.sqrt((errs ** 2).sum() / prob.obs_valid.sum()))
+    assert rmse < 0.5, rmse  # triangulation + exact poses -> tiny residual
+
+    # perturb poses, re-run BA, recover
+    dxi = rng.normal(0, 0.01, (C, 6)).astype(np.float32)
+    dxi[0] = 0
+    noisy = np.stack([np.asarray(se3_exp(jnp.asarray(dxi[i]))) @ cams[i]
+                      for i in range(C)])
+    prob_n = prob._replace(cams=jnp.asarray(noisy))
+    cams_opt, pts_opt, _ = ba_solve(prob_n, iters=10)
+    final = prob_n._replace(cams=cams_opt, points=pts_opt)
+    rmse2 = float(jnp.sqrt((reprojection_errors(final) ** 2).sum()
+                           / prob.obs_valid.sum()))
+    assert rmse2 < 0.1, rmse2
