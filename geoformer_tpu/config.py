@@ -74,6 +74,7 @@ class GeoModuleConfig:
     # Fixed capacity for the RANSAC-inlier KV set of the self-attention layers.
     max_inliers: int = 1024
     refine_iters: int = 2  # IRLS refinement rounds on inliers after best-H pick
+    use_pallas: bool = False  # Pallas masked-KV attention kernel (TPU)
 
 
 @dataclasses.dataclass(frozen=True)

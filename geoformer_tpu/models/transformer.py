@@ -34,6 +34,7 @@ class EncoderLayer(nn.Module):
     attention: str = "linear"  # 'linear' | 'full'
     mlp_act: str = "relu"      # 'relu' | 'tanh'
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False   # TPU kernel for masked-KV full attention
 
     def setup(self):
         dense = lambda name: nn.Dense(  # noqa: E731
@@ -69,6 +70,12 @@ class EncoderLayer(nn.Module):
         v = self._heads(self.v_proj(source))
         if self.attention == "linear":
             message = linear_attention(q, k, v, x_mask, source_mask)
+        elif (self.use_pallas and x_mask is None and source_mask is not None
+              and not zero_empty_rows):
+            from geoformer_tpu.ops.pallas_attention import masked_kv_attention
+
+            message = masked_kv_attention(q, k, v, source_mask,
+                                          mask_fill=mask_fill)
         else:
             message = full_attention(q, k, v, x_mask, source_mask,
                                      mask_fill=mask_fill,
