@@ -68,6 +68,9 @@ def cmd_train(args):
         model_cfg=model_cfg,
         lr=args.lr,
         warmup_steps=args.warmup,
+        resume=args.resume,
+        val_every=args.val_every,
+        tensorboard=args.tensorboard,
     )
 
 
@@ -107,6 +110,13 @@ def cmd_infer(args):
     t0 = time.time()
     (mk0, mk1, conf), = matcher.match_batch([im0], [im1])
     print(f"{len(mk0)} matches in {time.time() - t0:.2f}s")
+    if args.draw:
+        from geoformer_tpu.utils.plotting import make_matching_figure
+
+        make_matching_figure(im0, im1, mk0, mk1,
+                             text=[f"GeoFormer-TPU", f"{len(mk0)} matches"],
+                             path=args.draw)
+        print(f"figure -> {args.draw}")
     mk0 = mk0 * np.array(sc0)
     mk1 = mk1 * np.array(sc1)
     if args.out:
@@ -142,6 +152,9 @@ def main():
                    help="override true LR (default: canonical*bs/64)")
     t.add_argument("--warmup", type=int, default=0,
                    help="override warmup in actual steps")
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--val-every", type=int, default=0)
+    t.add_argument("--tensorboard", action="store_true")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval")
@@ -156,6 +169,7 @@ def main():
     i.add_argument("image0")
     i.add_argument("image1")
     i.add_argument("--out", default=None)
+    i.add_argument("--draw", default=None, help="write a match figure (png)")
     common(i)
     i.set_defaults(fn=cmd_infer)
 

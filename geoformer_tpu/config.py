@@ -51,6 +51,9 @@ class MatchConfig:
 
     thr: float = 0.2
     dsmax_temperature: float = 0.1
+    match_type: str = "dual_softmax"  # 'dual_softmax' | 'sinkhorn'
+    skh_iters: int = 3
+    skh_init_bin_score: float = 1.0
     # Capacity for extracted coarse matches. <=0 means "dense": keep one slot per
     # coarse cell of image0 (exactly mirrors the reference, which keeps every
     # mutual-NN row above threshold).

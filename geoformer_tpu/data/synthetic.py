@@ -128,7 +128,11 @@ def base_image_stream(hw: Tuple[int, int], batch: int, seed: int = 0,
     rng = np.random.default_rng(seed)
     bank = load_image_dir(image_dir, hw) if image_dir else None
     if bank is None:
-        bank = np.stack([procedural_texture(rng, hw) for _ in range(64)])
+        from geoformer_tpu.data.native import native_textures
+
+        bank = native_textures(64, hw[0], hw[1], seed)  # C++ fast path
+        if bank is None:
+            bank = np.stack([procedural_texture(rng, hw) for _ in range(64)])
     n = len(bank)
     while True:
         idx = rng.integers(0, n, size=batch)

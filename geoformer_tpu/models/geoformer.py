@@ -88,10 +88,35 @@ class GeoFormer(nn.Module):
 
         force_one = cfg.match.force_one_match or train
 
+        if cfg.match.match_type == "sinkhorn":
+            # optional OT matcher with learnable dustbin score
+            # (reference: coarse_matching.py:42-50 sinkhorn branch)
+            from geoformer_tpu.models.coarse_matching import extract_matches
+            from geoformer_tpu.ops.sinkhorn import log_optimal_transport
+
+            bin_score = self.param("bin_score", lambda _: jnp.asarray(
+                cfg.match.skh_init_bin_score))
+
+            def matcher(a, bfeat):
+                c = a.shape[-1]
+                sim = jnp.einsum("blc,bsc->bls", a / c ** 0.5,
+                                 bfeat / c ** 0.5) / cfg.match.dsmax_temperature
+                if m0 is not None and m1 is not None:
+                    vm = m0[:, :, None].astype(bool) & \
+                        m1[:, None, :].astype(bool)
+                    sim = jnp.where(vm, sim, -1e9)
+                Z = log_optimal_transport(sim, bin_score, cfg.match.skh_iters)
+                conf = jnp.exp(Z)[:, :-1, :-1]
+                return extract_matches(conf, cfg.match.thr,
+                                       cfg.match.max_matches, force_one,
+                                       m0, m1)
+        else:
+            matcher = lambda a, bfeat: coarse_match(  # noqa: E731
+                a, bfeat, cfg.match.thr, cfg.match.dsmax_temperature,
+                cfg.match.max_matches, m0, m1, force_one=force_one)
+
         # 3. First coarse matching pass.
-        matches1 = coarse_match(
-            f0, f1, cfg.match.thr, cfg.match.dsmax_temperature,
-            cfg.match.max_matches, m0, m1, force_one=force_one)
+        matches1 = matcher(f0, f1)
 
         # 4. GAM on the pre-transformer CNN features (full_model.py:87-89).
         geo = GeoModule(cfg.geo, cfg.coarse.d_model, dtype=dtype,
@@ -100,9 +125,7 @@ class GeoFormer(nn.Module):
                                 self.make_rng("ransac"))
 
         # 5. Second coarse matching pass on the geometrized features.
-        matches2 = coarse_match(
-            g0, g1, cfg.match.thr, cfg.match.dsmax_temperature,
-            cfg.match.max_matches, m0, m1, force_one=force_one)
+        matches2 = matcher(g0, g1)
 
         # 6. Fine stage.
         stride = cfg.coarse_scale // cfg.fine_scale

@@ -26,10 +26,15 @@ from geoformer_tpu.config import (
 )
 from geoformer_tpu.data.synthetic import base_image_stream, make_pair_batch
 from geoformer_tpu.models import GeoFormer
-from geoformer_tpu.train.checkpoint import save_checkpoint, save_params
+from geoformer_tpu.train.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    save_params,
+)
 from geoformer_tpu.train.trainer import (
     init_state,
     make_train_step,
+    make_val_step,
     shard_train_step,
 )
 
@@ -47,6 +52,9 @@ def run_training(
     model_cfg: Optional[GeoFormerConfig] = None,
     lr: float = 0.0,
     warmup_steps: int = 0,
+    resume: bool = False,
+    val_every: int = 0,
+    tensorboard: bool = False,
 ):
     devices = np.array(jax.devices())
     mesh = Mesh(devices, ("data",))
@@ -70,27 +78,49 @@ def run_training(
     tcfg = TrainConfig(batch_size=batch_size, image_hw=image_hw, seed=seed,
                        steps_per_epoch=max(1, steps // 15),
                        optim=optim)
+    from geoformer_tpu.train.optim import make_schedule
+
+    schedule, true_lr = make_schedule(tcfg.optim, batch_size,
+                                      tcfg.steps_per_epoch)
     model = GeoFormer(cfg)
     key = jax.random.key(seed)
     state, opt = init_state(model, tcfg, key)
+    if resume:
+        state = restore_checkpoint(ckpt_dir, state)
+        print(f"resumed at step {int(state.step)}")
     step_fn = shard_train_step(make_train_step(model, opt, tcfg), mesh)
+    val_fn = jax.jit(make_val_step(model, tcfg)) if val_every else None
 
     data_sh = NamedSharding(mesh, P("data"))
     stream = base_image_stream(image_hw, batch_size, seed, image_dir)
     pair_key = jax.random.key(seed + 1)
     ransac_key = jax.random.key(seed + 2)
+    # held-out validation batch from a disjoint seed
+    if val_every:
+        val_stream = base_image_stream(image_hw, batch_size, seed + 9999,
+                                       image_dir)
+        val_base = jnp.asarray(next(val_stream))
+        val_batch = make_pair_batch(val_base, jax.random.key(seed + 777))
+
+    tb = None
+    if tensorboard:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(os.path.join(ckpt_dir, "tb"))
 
     os.makedirs(ckpt_dir, exist_ok=True)
     metrics_path = os.path.join(ckpt_dir, "metrics.jsonl")
     t0 = time.time()
     last = t0
+    start_step = int(state.step)
     with open(metrics_path, "a") as mf:
-        for step in range(steps):
+        for step in range(start_step, steps):
             base = jax.device_put(jnp.asarray(next(stream)), data_sh)
             pair_key, k1 = jax.random.split(pair_key)
             ransac_key, k2 = jax.random.split(ransac_key)
             batch = make_pair_batch(base, k1)
-            state, metrics = step_fn(state, batch, k2)
+            lr_now = jnp.asarray(float(schedule(step)), jnp.float32)
+            state, metrics = step_fn(state, batch, k2, lr_now)
             if (step + 1) % log_every == 0 or step == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 now = time.time()
@@ -101,6 +131,21 @@ def run_training(
                 print(json.dumps(m))
                 mf.write(json.dumps(m) + "\n")
                 mf.flush()
+                if tb is not None:
+                    for k, v in m.items():
+                        if k != "step":
+                            tb.add_scalar(k, v, step + 1)
+            if val_fn is not None and (step + 1) % val_every == 0:
+                vm = {k: float(v) for k, v in jax.device_get(
+                    val_fn(state, val_batch, jax.random.key(0))).items()}
+                vm["step"] = step + 1
+                print(json.dumps(vm))
+                mf.write(json.dumps(vm) + "\n")
+                mf.flush()
+                if tb is not None:
+                    for k, v in vm.items():
+                        if k != "step":
+                            tb.add_scalar(k, v, step + 1)
             if (step + 1) % ckpt_every == 0 or step + 1 == steps:
                 save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
 

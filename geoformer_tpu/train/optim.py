@@ -43,11 +43,14 @@ def make_schedule(cfg: OptimConfig, batch_size: int, steps_per_epoch: int):
 
 
 def make_optimizer(cfg: OptimConfig, batch_size: int, steps_per_epoch: int):
-    schedule, _ = make_schedule(cfg, batch_size, steps_per_epoch)
+    """Unit-LR optimizer: the train step scales updates by a dynamic LR scalar
+    (see trainer.make_train_step), so changing schedule hyperparameters never
+    recompiles the step — for AdamW, post-scaling unit-LR updates is exactly
+    lr * (m_hat/sqrt(v_hat) + wd * theta)."""
     if cfg.optimizer == "adamw":
-        opt = optax.adamw(schedule, weight_decay=cfg.adamw_decay)
+        opt = optax.adamw(1.0, weight_decay=cfg.adamw_decay)
     elif cfg.optimizer == "adam":
-        opt = optax.adam(schedule)
+        opt = optax.adam(1.0)
     else:
         raise ValueError(cfg.optimizer)
     if cfg.gradient_clipping > 0:

@@ -63,7 +63,7 @@ def make_train_step(model: GeoFormer, opt: optax.GradientTransformation,
     wc = W // cfg.coarse_scale
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
-                   rng: jax.Array):
+                   rng: jax.Array, lr: jax.Array):
         mask0 = batch.get("mask0")
         mask1 = batch.get("mask1")
 
@@ -91,12 +91,68 @@ def make_train_step(model: GeoFormer, opt: optax.GradientTransformation,
         grads, (batch_stats, scalars) = jax.grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        # dynamic LR: optimizer runs at unit LR, updates scaled here so that
+        # schedule changes never retrace/recompile the step
+        updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(state.params, updates)
         scalars["grad_norm"] = optax.global_norm(grads)
+        scalars["lr"] = lr
         return TrainState(params, batch_stats, opt_state, state.step + 1), \
             scalars
 
     return train_step
+
+
+def make_val_step(model: GeoFormer, tcfg: TrainConfig):
+    """Validation step for homography training: loss without update plus a
+    geometric quality metric — mean corner error of a RANSAC fit on the
+    predicted matches vs the GT homography (the reference monitors val_loss,
+    lightning_homo_geoformer.py:116-118; the corner metric mirrors the
+    HPatches protocol)."""
+    from geoformer_tpu.geometry.homography import corner_error
+    from geoformer_tpu.geometry.ransac import ransac_homography
+
+    cfg = model.config
+    H, W = tcfg.image_hw
+    wc = W // cfg.coarse_scale
+
+    def val_step(state: TrainState, batch: Dict[str, jax.Array],
+                 rng: jax.Array):
+        mask0 = batch.get("mask0")
+        mask1 = batch.get("mask1")
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image0"], batch["image1"], mask0=mask0, mask1=mask1,
+            train=False, rngs={"ransac": rng})
+        conf_gt = spvs_coarse_homography(
+            batch["H_0to1"], batch["H_1to0"], (H, W), cfg.coarse_scale,
+            mask0, mask1)
+        fine_gt = spvs_fine_homography(
+            out.matches, batch["H_0to1"], wc, wc, cfg.coarse_scale,
+            cfg.fine_scale, cfg.fine_match.window_size)
+        loss, scalars = geo_loss(
+            out.conf, out.dect_conf, conf_gt, out.fine.fine_conf, fine_gt,
+            out.matches.valid, tcfg.loss, mask0, mask1)
+        val = {f"val_{k}": v for k, v in scalars.items()}
+
+        def fit_one(key, mk0, mk1, v):
+            fit = ransac_homography(key, mk0, mk1, v, thr=3.0, iters=256,
+                                    refine_iters=2)
+            return fit["H"], fit["ok"]
+
+        keys = jax.random.split(rng, batch["image0"].shape[0])
+        Hs, oks = jax.vmap(fit_one)(keys, out.fine.mkpts0, out.fine.mkpts1,
+                                    out.fine.valid)
+        errs = jax.vmap(lambda a, b: corner_error(a, b, (H, W)))(
+            Hs, batch["H_0to1"])
+        errs = jnp.where(oks, errs, jnp.inf)
+        val["val_corner_err_median"] = jnp.median(errs)
+        val["val_fit_rate"] = oks.mean().astype(jnp.float32)
+        val["val_num_matches"] = out.fine.valid.sum(-1).mean(
+        ).astype(jnp.float32)
+        return val
+
+    return val_step
 
 
 def make_depth_train_step(model: GeoFormer, opt: optax.GradientTransformation,
@@ -113,7 +169,7 @@ def make_depth_train_step(model: GeoFormer, opt: optax.GradientTransformation,
     wc = W // cfg.coarse_scale
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
-                   rng: jax.Array):
+                   rng: jax.Array, lr: jax.Array):
         mask0 = batch.get("mask0")
         mask1 = batch.get("mask1")
 
@@ -143,8 +199,12 @@ def make_depth_train_step(model: GeoFormer, opt: optax.GradientTransformation,
         grads, (batch_stats, scalars) = jax.grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        # dynamic LR: optimizer runs at unit LR, updates scaled here so that
+        # schedule changes never retrace/recompile the step
+        updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(state.params, updates)
         scalars["grad_norm"] = optax.global_norm(grads)
+        scalars["lr"] = lr
         return TrainState(params, batch_stats, opt_state, state.step + 1), \
             scalars
 
@@ -158,7 +218,7 @@ def shard_train_step(train_step, mesh: Mesh, axis: str = "data"):
     data = NamedSharding(mesh, P(axis))
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, repl),
+        in_shardings=(repl, data, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

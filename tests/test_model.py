@@ -83,3 +83,18 @@ def test_mask_padding_kills_matches(model_and_params):
     v = np.asarray(out.matches.valid[0])
     rows, cols = i // wc, i % wc
     assert ((rows[v] < 4) & (cols[v] < 5)).all()
+
+
+def test_sinkhorn_match_type_runs():
+    cfg = GeoFormerConfig(
+        match=MatchConfig(thr=0.05, max_matches=32, match_type="sinkhorn"),
+        geo=GeoModuleConfig(ransac_iters=32, max_inliers=32),
+    )
+    model = GeoFormer(cfg)
+    key = jax.random.key(0)
+    img = jnp.asarray(np.random.default_rng(3).random((1, 64, 80, 1)),
+                      jnp.float32)
+    params = model.init({"params": key, "ransac": key}, img, img)
+    assert "bin_score" in params["params"]
+    out = model.apply(params, img, img, rngs={"ransac": jax.random.key(1)})
+    assert np.isfinite(np.asarray(out.conf)).all()

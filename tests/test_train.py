@@ -127,14 +127,13 @@ def test_single_train_step_runs_and_is_finite():
     base = jnp.asarray(np.random.default_rng(0).random((2, *hw), np.float32))
     batch = make_pair_batch(base, jax.random.key(1))
     jstep = jax.jit(step)
-    state2, metrics = jstep(state, batch, jax.random.key(2))
+    lr = jnp.asarray(1e-4)
+    state2, metrics = jstep(state, batch, jax.random.key(2), lr)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
-    # Warmup LR at the first steps is ~1e-9 (canonical 6e-3 scaled by
-    # bs/64 over 4800/scaling steps) — too small to move f32 weights — so
-    # assert on the optimizer moments instead: gradients flowed and were
-    # accumulated.
-    state3, metrics3 = jstep(state2, batch, jax.random.key(3))
+    # With tiny LRs the f32 weights may not change representably; assert on
+    # the optimizer moments instead: gradients flowed and were accumulated.
+    state3, metrics3 = jstep(state2, batch, jax.random.key(3), lr)
     assert int(state3.step) == 2
     assert np.isfinite(float(metrics3["loss"]))
     mu_norm = optax.global_norm(state3.opt_state)
@@ -179,6 +178,6 @@ def test_depth_train_step_runs():
         "scale0": jnp.ones((b, 2)),
         "scale1": jnp.ones((b, 2)),
     }
-    state2, metrics = jax.jit(step)(state, batch, jax.random.key(1))
+    state2, metrics = jax.jit(step)(state, batch, jax.random.key(1), jnp.asarray(1e-4))
     assert np.isfinite(float(metrics["loss"])), metrics
     assert int(state2.step) == 1
