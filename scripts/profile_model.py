@@ -6,6 +6,11 @@ so optimization effort goes where the milliseconds are. Usage:
     python scripts/profile_model.py [--small]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

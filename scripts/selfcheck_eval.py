@@ -10,6 +10,11 @@ code are identical to eval/hpatches.py.
 Usage: python scripts/selfcheck_eval.py --ckpt checkpoints/tpu_run2/params_final.pkl
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
