@@ -37,35 +37,37 @@ def main():
     model = GeoFormer(cfg)
     key = jax.random.key(0)
     rng = np.random.default_rng(0)
-    img0 = jnp.asarray(rng.random((B, H, W, 1), np.float32))
-    img1 = jnp.asarray(rng.random((B, H, W, 1), np.float32))
+    # distinct inputs per iteration + a host fetch per iteration: the
+    # experimental PJRT plugin has been observed both to return early from
+    # block_until_ready and to short-cut repeated identical executions, so
+    # only fully-synchronized fresh-input timing is trustworthy here.
+    iters = 8
+    bank = jnp.asarray(rng.random((iters + 1, B, H, W, 1), np.float32))
     params = model.init({"params": key, "ransac": key},
-                        img0[:1], img1[:1])
+                        bank[0][:1], bank[0][:1])
 
     @jax.jit
     def fwd(params, i0, i1):
         return model.apply(params, i0, i1, rngs={"ransac": jax.random.key(0)})
 
-    # warmup / compile. A host fetch (not just block_until_ready) closes the
-    # loop — experimental PJRT plugins have been observed to return from
-    # block_until_ready before execution completes.
     t0 = time.perf_counter()
-    out = fwd(params, img0, img1)
+    out = fwd(params, bank[0], bank[1])
     float(out.fine.mconf.sum())
     compile_s = time.perf_counter() - t0
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, img0, img1)
-    float(out.fine.mconf.sum())
-    dt = time.perf_counter() - t0
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = fwd(params, bank[i], bank[i + 1])
+        float(out.fine.mconf.sum())
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
-    pairs_per_s = B * iters / dt
+    pairs_per_s = B / dt
     import sys
 
-    print(f"# compile+first: {compile_s:.1f}s  steady: "
-          f"{1e3 * dt / (B * iters):.2f} ms/pair", file=sys.stderr, flush=True)
+    print(f"# compile+first: {compile_s:.1f}s  per-call ms: "
+          f"{[round(t * 1e3, 1) for t in times]}", file=sys.stderr, flush=True)
     baseline = 5.0  # reference ~5 pairs/s/GPU at 480px (no published number)
     print(json.dumps({
         "metric": "matched_pairs_per_s_per_chip_480px",

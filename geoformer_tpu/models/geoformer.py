@@ -55,12 +55,17 @@ class GeoFormer(nn.Module):
         mask0: Optional[jax.Array] = None,
         mask1: Optional[jax.Array] = None,
         train: bool = False,
+        return_conf: Optional[bool] = None,
     ) -> MatchOutput:
         """
         Args:
             image0/1: [B, H, W, 1] grayscale in [0, 1]; same static shape.
             mask0/1: [B, H/8, W/8] coarse-resolution validity masks (padding).
             train: BatchNorm mode + force-one-match behaviour.
+            return_conf: include the dense [B, L, L] coarse confidence
+                matrices in the output (needed for the loss; ~370 MB each at
+                640px, so inference defaults to False and XLA fuses the
+                softmaxes straight into match extraction).
         """
         cfg = self.config
         b, H, W, _ = image0.shape
@@ -148,5 +153,10 @@ class GeoFormer(nn.Module):
                              cfg.fine_scale, cfg.fine_match.window_size,
                              cfg.fine_match.thr)
 
-        return MatchOutput(matches1.conf, matches2.conf, matches2, fine,
-                           geo_state)
+        if return_conf is None:
+            return_conf = train
+        empty = jnp.zeros((b, 0, 0), f0.dtype)
+        dect_conf = matches1.conf if return_conf else empty
+        conf = matches2.conf if return_conf else empty
+        matches_out = matches2._replace(conf=conf)
+        return MatchOutput(dect_conf, conf, matches_out, fine, geo_state)

@@ -32,11 +32,16 @@ def test_forward_shapes(model_and_params):
     rng = np.random.default_rng(0)
     img0 = jnp.asarray(rng.random((b, H, W, 1)), jnp.float32)
     img1 = jnp.asarray(rng.random((b, H, W, 1)), jnp.float32)
-    out = model.apply(params, img0, img1, rngs={"ransac": jax.random.key(1)})
+    out = model.apply(params, img0, img1, return_conf=True,
+                      rngs={"ransac": jax.random.key(1)})
     l = (H // 8) * (W // 8)
     m = 64
     assert out.dect_conf.shape == (b, l, l)
     assert out.conf.shape == (b, l, l)
+    # inference default omits the dense conf matrices
+    out_eval = model.apply(params, img0[:1], img1[:1],
+                           rngs={"ransac": jax.random.key(1)})
+    assert out_eval.conf.shape == (1, 0, 0)
     assert out.fine.mkpts0.shape == (b, m, 2)
     assert out.fine.mkpts1.shape == (b, m, 2)
     assert out.fine.valid.shape == (b, m)
