@@ -1,0 +1,91 @@
+"""Eval harness integration: mini-HPatches dataset -> driver -> metrics."""
+
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geoformer_tpu.config import GeoFormerConfig, GeoModuleConfig, MatchConfig
+from geoformer_tpu.eval.hpatches import eval_hpatches, fit_homography_np
+from geoformer_tpu.eval.matcher import BatchedMatcher, resize_shape
+from geoformer_tpu.models import GeoFormer
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = GeoFormerConfig(
+        match=MatchConfig(thr=0.01, max_matches=64),
+        geo=GeoModuleConfig(ransac_iters=32, max_inliers=64),
+    )
+    model = GeoFormer(cfg)
+    key = jax.random.key(0)
+    img = jnp.zeros((1, 64, 64, 1))
+    params = model.init({"params": key, "ransac": key}, img, img)
+    return cfg, params
+
+
+def _make_hpatches_dir(tmp_path, n_seqs=2, hw=(96, 128)):
+    rng = np.random.default_rng(0)
+    h, w = hw
+    for s in range(n_seqs):
+        name = ("i" if s % 2 == 0 else "v") + f"_seq{s}"
+        d = tmp_path / name
+        d.mkdir()
+        base = (rng.random((h, w)) * 255).astype(np.uint8)
+        # OpenCV's .ppm writer requires 3-channel BGR (real HPatches ppm are
+        # color as well)
+        cv2.imwrite(str(d / "1.ppm"), cv2.cvtColor(base, cv2.COLOR_GRAY2BGR))
+        for idx in range(2, 7):
+            H = np.array([[1, 0, (idx - 1) * 2.0], [0, 1, 0], [0, 0, 1]])
+            warped = cv2.warpPerspective(base, H, (w, h))
+            cv2.imwrite(str(d / f"{idx}.ppm"),
+                        cv2.cvtColor(warped, cv2.COLOR_GRAY2BGR))
+            np.savetxt(str(d / f"H_1_{idx}"), H)
+    return tmp_path
+
+
+def test_resize_shape_semantics():
+    # min edge above imsize -> scaled; below -> only /8 floor
+    wt, ht, sc = resize_shape(1280, 960, 480)
+    assert min(wt, ht) == 480 and wt % 8 == 0 and ht % 8 == 0
+    wt2, ht2, _ = resize_shape(320, 240, 480)
+    assert (wt2, ht2) == (320, 240)
+
+
+def test_batched_matcher_shapes(tiny_model):
+    cfg, params = tiny_model
+    rng = np.random.default_rng(1)
+    imgs = [rng.random((96, 128)).astype(np.float32) for _ in range(3)]
+    matcher = BatchedMatcher(cfg, params, batch_size=2)
+    out = matcher.match_batch(imgs, imgs)
+    assert len(out) == 3
+    for mk0, mk1, conf in out:
+        assert mk0.shape == mk1.shape and mk0.shape[1] == 2
+        assert conf.shape[0] == mk0.shape[0]
+
+
+def test_eval_hpatches_driver_runs(tiny_model, tmp_path):
+    cfg, params = tiny_model
+    data_root = _make_hpatches_dir(tmp_path)
+    out = eval_hpatches(params, cfg, str(data_root), imsize=96, batch_size=2,
+                        log=lambda *_: None)
+    assert out["n_pairs"] == 10
+    # untrained model: fits may fail, but every pair must be accounted for
+    assert "auc_a" in out or out["est_failed"] == 10
+    if "auc_a" in out:
+        assert len(out["auc_a"]) == 4
+
+
+def test_fit_homography_np_roundtrip():
+    rng = np.random.default_rng(2)
+    H = np.array([[1.02, 0.01, 5.0], [-0.02, 0.98, -3.0], [1e-5, 0, 1]])
+    p0 = rng.uniform(0, 400, (100, 2)).astype(np.float32)
+    ph = np.concatenate([p0, np.ones((100, 1))], 1) @ H.T
+    p1 = (ph[:, :2] / ph[:, 2:]).astype(np.float32)
+    Hp, inl = fit_homography_np(p0, p1, thr=3.0)
+    assert Hp is not None
+    assert inl.mean() > 0.95
+    np.testing.assert_allclose(Hp / Hp[2, 2], H / H[2, 2], atol=1e-2)
