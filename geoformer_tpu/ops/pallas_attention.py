@@ -8,9 +8,9 @@ materializing the [L, S, H] tensor in HBM as the XLA path does
 
 Falls back to the jnp implementation on non-TPU backends.
 
-NOTE: pallas_call has no automatic VJP, so this kernel is inference-only for
-now (config.geo.use_pallas defaults to False; training uses the jnp path).
-A custom_vjp wrapping a backward kernel is the planned next step.
+Training support: a custom VJP recomputes the attention weights in the
+backward pass (flash-attention style residual-free recompute) using the jnp
+path, so the forward kernel is usable under jax.grad.
 """
 
 from __future__ import annotations
@@ -47,7 +47,7 @@ def _mka_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, nhead: int,
             attn, vh, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("mask_fill", "tile"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def masked_kv_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                         kv_mask: jax.Array, mask_fill: float = -1e8,
                         tile: int = 512) -> jax.Array:
@@ -59,6 +59,10 @@ def masked_kv_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         [B, L, H, D], numerically matching
         full_attention(..., mask_fill=mask_fill).
     """
+    return _mka_forward(q, k, v, kv_mask, mask_fill, tile)
+
+
+def _mka_forward(q, k, v, kv_mask, mask_fill, tile):
     if jax.default_backend() not in ("tpu",):
         return full_attention(q, k, v, kv_mask=kv_mask, mask_fill=mask_fill)
 
@@ -91,3 +95,37 @@ def masked_kv_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, l, h * d), jnp.float32),
     )(qf, kf, vf, maskf)
     return out.reshape(b, l, h, d)
+
+
+def _mka_fwd(q, k, v, kv_mask, mask_fill, tile):
+    out = _mka_forward(q, k, v, kv_mask, mask_fill, tile)
+    return out, (q, k, v, kv_mask)
+
+
+def _mka_bwd(mask_fill, tile, res, g):
+    q, k, v, kv_mask = res
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    logits = jnp.einsum("blhd,bshd->blsh", q, k)
+    keep = kv_mask[:, None, :, None].astype(bool)
+    logits = jnp.where(keep, logits, mask_fill)
+    attn = jax.nn.softmax(scale * logits, axis=2)
+
+    dv = jnp.einsum("blsh,blhd->bshd", attn, g)
+    d_attn = jnp.einsum("blhd,bshd->blsh", g, v)
+    dot = jnp.sum(attn * d_attn, axis=2, keepdims=True)
+    d_logits = attn * (d_attn - dot) * scale
+    d_logits = jnp.where(keep, d_logits, 0.0)
+    dq = jnp.einsum("blsh,bshd->blhd", d_logits, k)
+    dk = jnp.einsum("blsh,blhd->bshd", d_logits, q)
+    if jnp.issubdtype(kv_mask.dtype, jnp.bool_) or \
+            jnp.issubdtype(kv_mask.dtype, jnp.integer):
+        import numpy as _np
+
+        dmask = _np.zeros(kv_mask.shape, dtype=jax.dtypes.float0)
+    else:
+        dmask = jnp.zeros(kv_mask.shape, kv_mask.dtype)
+    return dq, dk, dv, dmask
+
+
+masked_kv_attention.defvjp(_mka_fwd, _mka_bwd)

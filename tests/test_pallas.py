@@ -71,3 +71,25 @@ def test_encoder_layer_pallas_flag_cpu_fallback():
     b = l1.apply(params, x, src, None, mask, mask_fill=-1e8)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_masked_kv_attention_grad_matches_reference():
+    rng = np.random.default_rng(3)
+    b, l, s, h, d = 1, 6, 5, 2, 4
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3)
+
+    def f_ours(q, k, v):
+        return (masked_kv_attention(q, k, v, mask) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (full_attention(q, k, v, kv_mask=mask,
+                               mask_fill=-1e8) ** 2).sum()
+
+    g_ours = jax.grad(f_ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4,
+                                   atol=1e-5)
