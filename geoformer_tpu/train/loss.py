@@ -68,6 +68,23 @@ def fine_loss(fine_conf: jax.Array, label: jax.Array, valid: jax.Array,
     return loss
 
 
+def fine_loss_l2_std(expec_f: jax.Array, expec_f_gt: jax.Array,
+                     valid: jax.Array, correct_thr: float = 1.0,
+                     training: bool = True) -> jax.Array:
+    """Legacy LoFTR fine loss: std-weighted l2 on normalized offsets
+    (loftr_loss.py:316-343) for the soft-argmax (plain LoFTR) family.
+
+    expec_f: [B, M, 3] (x, y, std); expec_f_gt: [B, M, 2]; valid: [B, M].
+    """
+    correct = (jnp.abs(expec_f_gt).max(-1) < correct_thr) & valid
+    std = expec_f[..., 2]
+    inv_std = 1.0 / jnp.clip(std, 1e-10)
+    weight = jax.lax.stop_gradient(
+        inv_std / jnp.maximum(_masked_mean(inv_std, valid), 1e-10))
+    l2 = ((expec_f_gt - expec_f[..., :2]) ** 2).sum(-1)
+    return _masked_mean(l2 * weight, correct)
+
+
 def geo_loss(
     conf: jax.Array,
     dect_conf: jax.Array,

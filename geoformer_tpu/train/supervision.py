@@ -210,6 +210,29 @@ def spvs_fine_depth(
     return _fine_label_from_warp(w_pt0, kpts1, window, dist_thr)
 
 
+def spvs_fine_expec_homography(
+    matches: CoarseMatches,
+    H_0to1: jax.Array,
+    grid_w0: int,
+    grid_w1: int,
+    coarse_scale: int = 8,
+    fine_scale: int = 2,
+    window: int = 5,
+) -> jax.Array:
+    """Soft-argmax GT offsets for the plain-LoFTR family (spvs_fine,
+    supervision.py:130-149): normalized offset of the warped coarse center of
+    image0 relative to the matched center in image1, in window-radius units.
+
+    Returns expec_f_gt [B, M, 2] (|.| > 1 means "fell outside the window";
+    the legacy loss filters those with correct_thr).
+    """
+    radius = window // 2
+    centers0 = match_coords(matches.i_ids, grid_w0, coarse_scale)
+    centers1 = match_coords(matches.j_ids, grid_w1, coarse_scale)
+    w_pt0 = warp_points(centers0, H_0to1)
+    return (w_pt0 - centers1) / (fine_scale * radius)
+
+
 def _fine_label_from_warp(w_pt0, kpts1, window, dist_thr) -> jax.Array:
     b, m, ww, _ = w_pt0.shape
     d = jnp.sqrt(((w_pt0[:, :, :, None, :] - kpts1[:, :, None, :, :]) ** 2)

@@ -103,3 +103,27 @@ def test_sinkhorn_match_type_runs():
     assert "bin_score" in params["params"]
     out = model.apply(params, img, img, rngs={"ransac": jax.random.key(1)})
     assert np.isfinite(np.asarray(out.conf)).all()
+
+
+def test_plain_loftr_family():
+    from geoformer_tpu.models.loftr import LoFTR, soft_argmax_match
+
+    cfg = GeoFormerConfig(match=MatchConfig(thr=0.01, max_matches=32))
+    model = LoFTR(cfg)
+    key = jax.random.key(0)
+    img = jnp.asarray(np.random.default_rng(5).random((1, 64, 80, 1)),
+                      jnp.float32)
+    params = model.init(key, img, img)
+    out = model.apply(params, img, img)
+    assert out.expec_f.shape == (1, 32, 3)
+    assert np.isfinite(np.asarray(out.mkpts1)).all()
+    # soft-argmax sanity: a delta heatmap at a known cell decodes there
+    w = 5
+    f1 = np.zeros((1, w * w, 8), np.float32)
+    f0 = np.zeros((1, w * w, 8), np.float32)
+    f0[0, :, 0] = 0.0
+    f0[0, w * w // 2, 0] = 1.0
+    f1[0, 7, 0] = 50.0  # cell (row 1, col 2) attracts all mass
+    coords, std = soft_argmax_match(jnp.asarray(f0), jnp.asarray(f1), w)
+    # normalized coords of cell 7 = (x=2, y=1) -> ((2/4)*2-1, (1/4)*2-1)
+    np.testing.assert_allclose(np.asarray(coords[0]), [0.0, -0.5], atol=1e-2)

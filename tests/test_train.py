@@ -181,3 +181,28 @@ def test_depth_train_step_runs():
     state2, metrics = jax.jit(step)(state, batch, jax.random.key(1), jnp.asarray(1e-4))
     assert np.isfinite(float(metrics["loss"])), metrics
     assert int(state2.step) == 1
+
+
+def test_legacy_fine_supervision_and_loss():
+    from geoformer_tpu.train.loss import fine_loss_l2_std
+    from geoformer_tpu.train.supervision import spvs_fine_expec_homography
+
+    matches = CoarseMatches(
+        conf=jnp.zeros((1, 80, 80)),
+        i_ids=jnp.asarray([[11, 12]]),
+        j_ids=jnp.asarray([[11, 12]]),
+        valid=jnp.asarray([[True, True]]),
+        mconf=jnp.asarray([[0.9, 0.9]]),
+    )
+    # 2px x-translation -> normalized offset 2 / (2*2) = 0.5
+    H = jnp.asarray(np.array([[[1, 0, 2], [0, 1, 0], [0, 0, 1]]], np.float32))
+    gt = spvs_fine_expec_homography(matches, H, 10, 10)
+    np.testing.assert_allclose(np.asarray(gt[0, 0]), [0.5, 0.0], atol=1e-6)
+
+    # perfect prediction -> ~zero loss; wrong prediction -> bigger
+    pred_good = jnp.concatenate([gt, jnp.full((1, 2, 1), 1.0)], -1)
+    pred_bad = jnp.concatenate([-gt, jnp.full((1, 2, 1), 1.0)], -1)
+    valid = matches.valid
+    lg = float(fine_loss_l2_std(pred_good, gt, valid))
+    lb = float(fine_loss_l2_std(pred_bad, gt, valid))
+    assert lg < 1e-10 and lb > lg
