@@ -10,6 +10,7 @@ per 480px pair (5 pairs/s) per community reports, so we report the ratio to a
 5 pairs/s/device reference point.
 """
 
+import argparse
 import json
 import time
 
@@ -19,6 +20,11 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--pallas", action="store_true")
+    args = ap.parse_args()
+
     from geoformer_tpu.core.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -32,7 +38,9 @@ def main():
     B, H, W = 4, 480, 640
     cfg = GeoFormerConfig(
         match=MatchConfig(max_matches=1024),
-        geo=GeoModuleConfig(ransac_iters=256, max_inliers=1024),
+        geo=GeoModuleConfig(ransac_iters=256, max_inliers=1024,
+                            use_pallas=args.pallas),
+        use_bf16=args.bf16,
     )
     model = GeoFormer(cfg)
     key = jax.random.key(0)

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--seed", type=int, default=123456)
     ap.add_argument("--ransac-thr", type=float, default=3.0)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--pallas", action="store_true")
     args = ap.parse_args()
 
     from geoformer_tpu.core.cache import enable_compile_cache
@@ -71,7 +73,9 @@ def main():
 
     cfg = GeoFormerConfig(
         match=MatchConfig(max_matches=1024),
-        geo=GeoModuleConfig(ransac_iters=256, max_inliers=1024),
+        geo=GeoModuleConfig(ransac_iters=256, max_inliers=1024,
+                            use_pallas=args.pallas),
+        use_bf16=args.bf16,
     )
     model = GeoFormer(cfg)
     variables = load_params(args.ckpt)

@@ -258,3 +258,62 @@ def test_track_chaining_and_e2e_ba():
     rmse2 = float(jnp.sqrt((reprojection_errors(final) ** 2).sum()
                            / prob.obs_valid.sum()))
     assert rmse2 < 0.1, rmse2
+
+
+def test_homography_graph_closes_loop():
+    from geoformer_tpu.engine.homography_graph import (
+        HomographyGraph,
+        optimize_homography_graph,
+        sl3_exp,
+    )
+    from geoformer_tpu.geometry.homography import corner_error
+
+    rng = np.random.default_rng(8)
+    K = 6
+    # GT chain of small projective motions
+    Hs_gt = [np.eye(3, dtype=np.float32)]
+    for i in range(1, K):
+        xi = rng.normal(0, 0.02, 8).astype(np.float32)
+        xi[4] = 8.0 * rng.normal()   # translations larger
+        xi[5] = 8.0 * rng.normal()
+        xi[6:] *= 1e-4               # small perspective
+        step = np.asarray(sl3_exp(jnp.asarray(xi)))
+        Hs_gt.append(step @ Hs_gt[-1])
+    Hs_gt = np.stack(Hs_gt)
+
+    ei, ej, eH = [], [], []
+    for i in range(K - 1):
+        noise_xi = rng.normal(0, 0.003, 8).astype(np.float32)
+        noise_xi[4:6] *= 100
+        noise_xi[6:] *= 1e-3
+        noise = np.asarray(sl3_exp(jnp.asarray(noise_xi)))
+        eH.append(noise @ Hs_gt[i + 1] @ np.linalg.inv(Hs_gt[i]))
+        ei.append(i)
+        ej.append(i + 1)
+    # exact loop closure
+    ei.append(0)
+    ej.append(K - 1)
+    eH.append(Hs_gt[K - 1] @ np.linalg.inv(Hs_gt[0]))
+
+    H0 = [np.eye(3, dtype=np.float32)]
+    for i in range(K - 1):
+        H0.append(eH[i] @ H0[-1])
+    H0 = np.stack(H0)
+
+    graph = HomographyGraph(
+        H=jnp.asarray(H0), edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32), edge_H=jnp.asarray(np.stack(eH)),
+        edge_valid=jnp.ones(len(ei), bool),
+        edge_weight=jnp.where(jnp.arange(len(ei)) == len(ei) - 1, 10.0, 1.0))
+    opt, hist = optimize_homography_graph(graph, iters=15)
+
+    err0 = np.mean([float(corner_error(jnp.asarray(H0[i]),
+                                       jnp.asarray(Hs_gt[i]), (480, 640)))
+                    for i in range(K)])
+    err1 = np.mean([float(corner_error(opt[i], jnp.asarray(Hs_gt[i]),
+                                       (480, 640)))
+                    for i in range(K)])
+    # the injected 0.003 affine odometry noise alone is ~2 px at the
+    # corners, so the optimum sits near 2.2 px; require a clear improvement
+    assert err1 < 0.7 * err0, (err0, err1)
+    assert err1 < 3.0, (err0, err1)
