@@ -84,15 +84,30 @@ def main():
     def fwd(v, i0, i1):
         return model.apply(v, i0, i1, rngs={"ransac": jax.random.key(0)})
 
+    # batch the pair list into B=4 forwards (reuses the bench-compiled graph)
     pairs = [(k, k + 1) for k in range(K - 1)] + [(0, K - 1)]
-    ei, ej, eH, weights, drifts = [], [], [], [], []
-    for (a, b) in pairs:
-        i0 = jnp.asarray(frames[a][None, :, :, None])
-        i1 = jnp.asarray(frames[b][None, :, :, None])
+    B = 4
+    while len(pairs) % B:
+        pairs.append(pairs[-1])
+    results = []
+    for s in range(0, len(pairs), B):
+        chunk = pairs[s:s + B]
+        i0 = jnp.asarray(np.stack([frames[a] for a, _ in chunk])[..., None])
+        i1 = jnp.asarray(np.stack([frames[b] for _, b in chunk])[..., None])
         out = fwd(variables, i0, i1)
-        ok = np.asarray(out.fine.valid[0])
-        mk0 = np.asarray(out.fine.mkpts0[0])[ok]
-        mk1 = np.asarray(out.fine.mkpts1[0])[ok]
+        for bi in range(B):
+            results.append((np.asarray(out.fine.valid[bi]),
+                            np.asarray(out.fine.mkpts0[bi]),
+                            np.asarray(out.fine.mkpts1[bi])))
+
+    ei, ej, eH, weights = [], [], [], []
+    seen = set()
+    for (a, b), (ok, mk0a, mk1a) in zip(pairs, results):
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        mk0 = mk0a[ok]
+        mk1 = mk1a[ok]
         Hp, inl = fit_homography_np(mk0, mk1, thr=3.0)
         if Hp is None:
             print(f"pair {a}->{b}: fit failed ({ok.sum()} matches)")
@@ -100,12 +115,20 @@ def main():
         gt = Hs_gt[b] @ np.linalg.inv(Hs_gt[a])
         err = float(corner_error(jnp.asarray(Hp, jnp.float32),
                                  jnp.asarray(gt), (H, W)))
+        # edge information weight: inverse RMS of the inlier reprojection
+        # residual under the fitted H (a live uncertainty estimate)
+        ph = np.concatenate([mk0, np.ones((len(mk0), 1))], 1) @ Hp.T
+        proj = ph[:, :2] / ph[:, 2:]
+        res = np.linalg.norm(proj - mk1, axis=1)[inl]
+        rms = float(np.sqrt((res ** 2).mean())) if inl.any() else 10.0
+        w = 1.0 / max(rms, 0.05)
         print(f"pair {a}->{b}: {ok.sum()} matches, "
-              f"{int(inl.sum())} inliers, pair corner err {err:.2f}px")
+              f"{int(inl.sum())} inliers, rms {rms:.2f}px, "
+              f"pair corner err {err:.2f}px")
         ei.append(a)
         ej.append(b)
         eH.append(Hp.astype(np.float32))
-        weights.append(5.0 if (a, b) == (0, K - 1) else 1.0)
+        weights.append(w * (3.0 if (a, b) == (0, K - 1) else 1.0))
 
     # --- chain odometry, then optimize the graph
     H0 = [np.eye(3, dtype=np.float32)]

@@ -156,3 +156,110 @@ def test_backbone_parity_via_converter():
     np.testing.assert_allclose(
         np.asarray(ours_f), np.transpose(ref_f.numpy(), (0, 2, 3, 1)),
         rtol=1e-3, atol=1e-4)
+
+
+def _full_reference_state_dict(rng):
+    """Synthesize a complete reference-layout state_dict (correct shapes) to
+    exercise every branch of the converter against the real model tree."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{name}.weight"] = rng.normal(size=(o, i, k, k)).astype(np.float32) * 0.05
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = np.ones(c, np.float32)
+        sd[f"{name}.bias"] = np.zeros(c, np.float32)
+        sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{name}.running_var"] = np.ones(c, np.float32)
+
+    def lin(name, o, i, bias=False):
+        sd[f"{name}.weight"] = rng.normal(size=(o, i)).astype(np.float32) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = np.zeros(o, np.float32)
+
+    def enc(prefix, d):
+        for n in ("q_proj", "k_proj", "v_proj", "merge"):
+            lin(f"{prefix}.{n}", d, d)
+        lin(f"{prefix}.mlp.0", 2 * d, 2 * d)
+        lin(f"{prefix}.mlp.2", d, 2 * d)
+        for n in ("norm1", "norm2"):
+            sd[f"{prefix}.{n}.weight"] = np.ones(d, np.float32)
+            sd[f"{prefix}.{n}.bias"] = np.zeros(d, np.float32)
+
+    d1, d2, d3 = 128, 196, 256
+    conv("backbone.conv1", 128, 1, 7)
+    bn("backbone.bn1", 128)
+    dims = {1: (128, d1), 2: (d1, d2), 3: (d2, d3)}
+    for li, (cin, cout) in dims.items():
+        for bi in (0, 1):
+            t = f"backbone.layer{li}.{bi}"
+            c_in = cin if bi == 0 else cout
+            conv(f"{t}.conv1", cout, c_in, 3)
+            conv(f"{t}.conv2", cout, cout, 3)
+            bn(f"{t}.bn1", cout)
+            bn(f"{t}.bn2", cout)
+            if bi == 0 and li > 1:
+                conv(f"{t}.downsample.0", cout, cin, 1)
+                bn(f"{t}.downsample.1", cout)
+    conv("backbone.layer3_outconv", d3, d3, 1)
+    conv("backbone.layer2_outconv", d3, d2, 1)
+    conv("backbone.layer2_outconv2.0", d3, d3, 3)
+    bn("backbone.layer2_outconv2.1", d3)
+    conv("backbone.layer2_outconv2.3", d2, d3, 3)
+    conv("backbone.layer1_outconv", d2, d1, 1)
+    conv("backbone.layer1_outconv2.0", d2, d2, 3)
+    bn("backbone.layer1_outconv2.1", d2)
+    conv("backbone.layer1_outconv2.3", d1, d2, 3)
+
+    for i in range(8):
+        enc(f"matcher.loftr_coarse.layers.{i}", 256)  # test prefix strip too
+    for i in range(4):
+        enc(f"geo_module.des_transformer.layers.{i}", 256)
+    for i in range(2):
+        enc(f"loftr_fine.layers.{i}", 128)
+    lin("fine_preprocess.down_proj", 128, 256, bias=True)
+    lin("fine_preprocess.merge_feat", 128, 256, bias=True)
+    return sd
+
+
+def test_full_checkpoint_conversion_loads_and_runs():
+    from geoformer_tpu.config import (
+        GeoFormerConfig,
+        GeoModuleConfig,
+        MatchConfig,
+    )
+    from geoformer_tpu.models import GeoFormer
+    from geoformer_tpu.utils.torch_convert import convert_state_dict
+
+    rng = np.random.default_rng(9)
+    sd = _full_reference_state_dict(rng)
+    variables = convert_state_dict(sd)
+
+    cfg = GeoFormerConfig(
+        match=MatchConfig(max_matches=32),
+        geo=GeoModuleConfig(ransac_iters=32, max_inliers=32),
+    )
+    model = GeoFormer(cfg)
+    img = jnp.asarray(rng.random((1, 64, 80, 1)), jnp.float32)
+    # structural check: converted tree must match the model's init tree
+    init = model.init({"params": jax.random.key(0),
+                       "ransac": jax.random.key(0)}, img, img)
+
+    def paths(tree, prefix=()):
+        out = set()
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out |= paths(v, prefix + (k,))
+            else:
+                out.add(prefix + (k, getattr(v, "shape", None) and tuple(v.shape)))
+        return out
+
+    p_init = paths(init["params"])
+    p_conv = paths(variables["params"])
+    missing = p_init - p_conv
+    extra = p_conv - p_init
+    assert not missing, f"converter missing params: {sorted(missing)[:5]}"
+    assert not extra, f"converter extra params: {sorted(extra)[:5]}"
+
+    out = model.apply(variables, img, img, rngs={"ransac": jax.random.key(1)})
+    assert np.isfinite(np.asarray(out.fine.mkpts0)).all()
