@@ -83,9 +83,17 @@ def optimize_homography_graph(graph: HomographyGraph, iters: int = 10,
     hp = jax.lax.Precision.HIGHEST
     S = jnp.diag(jnp.array([1.0 / norm_scale, 1.0 / norm_scale, 1.0]))
     Sinv = jnp.diag(jnp.array([norm_scale, norm_scale, 1.0]))
+
+    def unimodular(Hk):
+        # measured homographies are h22-normalized with arbitrary det; bring
+        # them onto SL(3) so tangent updates and residuals are consistent
+        det = jnp.linalg.det(Hk)
+        return Hk / jnp.cbrt(det)[..., None, None]
+
     graph = graph._replace(
-        H=jnp.einsum("ij,kjl,lm->kim", S, graph.H, Sinv),
-        edge_H=jnp.einsum("ij,kjl,lm->kim", S, graph.edge_H, Sinv))
+        H=unimodular(jnp.einsum("ij,kjl,lm->kim", S, graph.H, Sinv)),
+        edge_H=unimodular(jnp.einsum("ij,kjl,lm->kim", S, graph.edge_H,
+                                     Sinv)))
 
     def step(H, _):
         Hi = H[graph.edge_i]
