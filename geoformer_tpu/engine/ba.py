@@ -168,8 +168,9 @@ def _ba_solve_impl(prob: BAProblem, iters: int, damping: float, C: int,
         points = jnp.where(accept, new_points, points)
         return (cams, points), jnp.minimum(rmse_new, rmse_old)
 
-    (cams, points), hist = jax.lax.scan(
-        gn_step, (prob.cams, prob.points), None, length=iters)
+    with jax.default_matmul_precision("highest"):
+        (cams, points), hist = jax.lax.scan(
+            gn_step, (prob.cams, prob.points), None, length=iters)
     return cams, points, hist
 
 

@@ -135,6 +135,7 @@ def optimize_homography_graph(graph: HomographyGraph, iters: int = 10,
         H_new = jax.vmap(lambda xi, Hk: sl3_exp(xi) @ Hk)(dx, H)
         return H_new, jnp.linalg.norm(r)
 
-    H, hist = jax.lax.scan(step, graph.H, None, length=iters)
+    with jax.default_matmul_precision("highest"):
+        H, hist = jax.lax.scan(step, graph.H, None, length=iters)
     H = jnp.einsum("ij,kjl,lm->kim", Sinv, H, S)   # back to pixel frame
     return H, hist

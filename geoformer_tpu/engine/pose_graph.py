@@ -88,5 +88,6 @@ def optimize_pose_graph(graph: PoseGraph, iters: int = 10,
         poses = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx, poses)
         return poses, jnp.linalg.norm(r)
 
-    poses, hist = jax.lax.scan(step, graph.poses, None, length=iters)
+    with jax.default_matmul_precision("highest"):
+        poses, hist = jax.lax.scan(step, graph.poses, None, length=iters)
     return poses, hist

@@ -136,6 +136,8 @@ def main():
         H0.append(eH[k] @ H0[-1])
     H0 = np.stack(H0)
 
+    np.savez("/tmp/slam_edges.npz", H0=H0, ei=np.asarray(ei), ej=np.asarray(ej),
+             eH=np.stack(eH), weights=np.asarray(weights), Hs_gt=Hs_gt)
     graph = HomographyGraph(
         H=jnp.asarray(H0), edge_i=jnp.asarray(ei, jnp.int32),
         edge_j=jnp.asarray(ej, jnp.int32), edge_H=jnp.asarray(np.stack(eH)),
