@@ -30,11 +30,10 @@ def _model_and_params(args):
     )
     model = GeoFormer(cfg)
     if args.ckpt:
-        params = {"params": load_params(args.ckpt)}
-        # batch_stats ship inside the pickle when present
-        if "batch_stats" in params["params"]:
-            bs = params["params"].pop("batch_stats")
-            params["batch_stats"] = bs
+        loaded = load_params(args.ckpt)
+        # params_final.pkl stores {'params': ..., 'batch_stats': ...};
+        # a bare param tree gets wrapped
+        params = loaded if "params" in loaded else {"params": loaded}
     else:
         import jax.numpy as jnp
 

@@ -97,8 +97,11 @@ class BatchedMatcher:
         resized (pre-padding) pixel frame.
         """
         s = self.cfg.coarse_scale
-        bh = max(bucket_shape(*im.shape) for im in imgs0 + imgs1)
-        H, W = bh
+        # elementwise max over bucketed shapes (lexicographic tuple-max would
+        # drop the width of a shorter-but-wider image)
+        shapes = [bucket_shape(*im.shape) for im in imgs0 + imgs1]
+        H = max(h for h, _ in shapes)
+        W = max(w for _, w in shapes)
         n = len(imgs0)
         b = self.batch_size
         out = []

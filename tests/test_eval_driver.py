@@ -89,3 +89,15 @@ def test_fit_homography_np_roundtrip():
     assert Hp is not None
     assert inl.mean() > 0.95
     np.testing.assert_allclose(Hp / Hp[2, 2], H / H[2, 2], atol=1e-2)
+
+
+def test_batched_matcher_mixed_aspect_bucket(tiny_model):
+    """Regression: the padded bucket must cover BOTH the tallest and widest
+    image (elementwise max, not lexicographic tuple max)."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(3)
+    tall = rng.random((128, 64)).astype(np.float32)   # taller
+    wide = rng.random((96, 160)).astype(np.float32)   # wider
+    matcher = BatchedMatcher(cfg, params, batch_size=2)
+    out = matcher.match_batch([tall, wide], [wide, tall])
+    assert len(out) == 2  # would raise on a too-small bucket before the fix
