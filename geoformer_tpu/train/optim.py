@@ -19,20 +19,22 @@ def make_schedule(cfg: OptimConfig, batch_size: int, steps_per_epoch: int):
     true_lr = cfg.true_lr if cfg.true_lr > 0 else cfg.canonical_lr * scaling
     warmup = max(1, int(cfg.warmup_steps / max(scaling, 1e-8)))
 
-    def schedule(step):
-        import jax.numpy as jnp
+    import math
 
+    def schedule(step):
+        """Host-side schedule: plain Python math (the LR reaches the jitted
+        step as a runtime scalar, so nothing here needs to be traceable)."""
+        step = float(step)
         warm = cfg.warmup_ratio * true_lr + (
             step / warmup) * (1.0 - cfg.warmup_ratio) * true_lr
-        base = jnp.minimum(warm, true_lr)
+        base = min(warm, true_lr)
         if cfg.scheduler == "multistep":
             epoch = step // steps_per_epoch
-            k = sum((epoch >= m).astype(jnp.int32)
-                    for m in cfg.mslr_milestones)
+            k = sum(1 for m in cfg.mslr_milestones if epoch >= m)
             decay = cfg.mslr_gamma ** k
         elif cfg.scheduler == "cosine":
             epoch = step / steps_per_epoch
-            decay = 0.5 * (1 + jnp.cos(jnp.pi * epoch / cfg.cosa_tmax))
+            decay = 0.5 * (1 + math.cos(math.pi * epoch / cfg.cosa_tmax))
         elif cfg.scheduler == "exponential":
             decay = cfg.elr_gamma ** step
         else:
