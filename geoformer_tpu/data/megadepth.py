@@ -132,6 +132,17 @@ def scene_balanced_stream(
         MegaDepthScene(p, root_dir, **scene_kw) for p in paths]
     scenes = [s for s in scenes if len(s) > 0]
 
+    def get_with_retry(si, k, tries: int = 8):
+        # resample on read failure, as the reference does
+        # (megadepth.py:68-133 catches any exception and retries random)
+        for _ in range(tries):
+            try:
+                return scenes[si].get(k)
+            except Exception:
+                si = int(rng.integers(0, len(scenes)))
+                k = int(rng.integers(0, len(scenes[si])))
+        raise RuntimeError("megadepth: too many consecutive read failures")
+
     while True:
         order = []
         for si, sc in enumerate(scenes):
@@ -139,5 +150,6 @@ def scene_balanced_stream(
             order.extend((si, int(k)) for k in idx)
         rng.shuffle(order)
         for start in range(0, len(order) - batch + 1, batch):
-            samples = [scenes[si].get(k) for si, k in order[start:start + batch]]
+            samples = [get_with_retry(si, k)
+                       for si, k in order[start:start + batch]]
             yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
