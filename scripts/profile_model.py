@@ -83,6 +83,22 @@ def main():
     bfn = jax.jit(lambda v, x: bb.apply(v, x))
     timeit(bfn, bvars, jnp.concatenate([img, img], 0), label="backbone (2B)")
 
+    bb16 = ResNetFPN(dtype=jnp.bfloat16)
+    bfn16 = jax.jit(lambda v, x: bb16.apply(v, x))
+    timeit(bfn16, bvars, jnp.concatenate([img, img], 0),
+           label="backbone (2B, bf16)")
+
+    # extraction without materializing conf (the eval path)
+    from geoformer_tpu.models.coarse_matching import extract_matches
+    from geoformer_tpu.ops.matching import dual_softmax
+
+    def match_extract_only(a, b):
+        conf = dual_softmax(a, b, 0.1)
+        m = extract_matches(conf, 0.2, 1024)
+        return m.i_ids, m.j_ids, m.valid, m.mconf
+
+    cfn2 = jax.jit(match_extract_only)
+
     # coarse transformer
     tf = LocalFeatureTransformer(256, 8, ("self", "cross") * 4, "linear")
     f0 = jnp.asarray(rng.random((B, L, 256), np.float32))
@@ -92,7 +108,8 @@ def main():
 
     # coarse matching (dual softmax + extract) x2 passes
     cfn = jax.jit(lambda a, b: coarse_match(a, b, 0.2, 0.1, 1024))
-    timeit(cfn, f0, f0, label="coarse match (1 pass)")
+    timeit(cfn, f0, f0, label="coarse match (returns conf)")
+    timeit(cfn2, f0, f0, label="coarse match (extract only)")
 
     # RANSAC alone
     pts = jnp.asarray(rng.random((B, 1024, 2), np.float32) * 500)
