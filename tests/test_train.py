@@ -206,3 +206,30 @@ def test_legacy_fine_supervision_and_loss():
     lg = float(fine_loss_l2_std(pred_good, gt, valid))
     lb = float(fine_loss_l2_std(pred_bad, gt, valid))
     assert lg < 1e-10 and lb > lg
+
+
+def test_pair_batch_supervision_consistency():
+    """Property: for generated pairs, every positive coarse GT cell (i, j)
+    must satisfy warp(center_i, H_0to1) ~ center_j (within one cell)."""
+    from geoformer_tpu.data.synthetic import make_pair_batch
+    from geoformer_tpu.geometry.homography import warp_points
+    from geoformer_tpu.models.coarse_matching import match_coords
+
+    hw = (64, 80)
+    base = jnp.asarray(np.random.default_rng(0).random((2, *hw), np.float32))
+    batch = make_pair_batch(base, jax.random.key(5))
+    conf_gt = spvs_coarse_homography(
+        batch["H_0to1"], batch["H_1to0"], hw, 8,
+        batch["mask0"], batch["mask1"])
+    wc = hw[1] // 8
+    for b in range(2):
+        rows, cols = np.where(np.asarray(conf_gt[b]))
+        if len(rows) == 0:
+            continue
+        c0 = match_coords(jnp.asarray(rows), wc, 8)
+        c1 = match_coords(jnp.asarray(cols), wc, 8)
+        w0 = warp_points(c0, batch["H_0to1"][b])
+        d = np.linalg.norm(np.asarray(w0) - np.asarray(c1), axis=1)
+        assert d.max() < 8.0, d.max()   # within one coarse cell
+        # and a healthy number of supervised cells exists
+        assert len(rows) > 5
