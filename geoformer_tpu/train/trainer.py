@@ -123,7 +123,7 @@ def make_val_step(model: GeoFormer, tcfg: TrainConfig):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["image0"], batch["image1"], mask0=mask0, mask1=mask1,
-            train=False, rngs={"ransac": rng})
+            train=False, return_conf=True, rngs={"ransac": rng})
         conf_gt = spvs_coarse_homography(
             batch["H_0to1"], batch["H_1to0"], (H, W), cfg.coarse_scale,
             mask0, mask1)
