@@ -101,3 +101,61 @@ def test_batched_matcher_mixed_aspect_bucket(tiny_model):
     matcher = BatchedMatcher(cfg, params, batch_size=2)
     out = matcher.match_batch([tall, wide], [wide, tall])
     assert len(out) == 2  # would raise on a too-small bucket before the fix
+
+
+def _write_jpg(path, arr):
+    cv2.imwrite(str(path), cv2.cvtColor(arr, cv2.COLOR_GRAY2BGR))
+
+
+def test_eval_fire_driver_runs(tiny_model, tmp_path):
+    from geoformer_tpu.eval.fire import eval_fire
+
+    cfg, params = tiny_model
+    rng = np.random.default_rng(4)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "ground_truth").mkdir()
+    h, w = 96, 96
+    for pair in ("S01", "P02", "A03"):
+        base = (rng.random((h, w)) * 255).astype(np.uint8)
+        H = np.array([[1, 0, 3.0], [0, 1, -2.0], [0, 0, 1]])
+        warped = cv2.warpPerspective(base, H, (w, h))
+        _write_jpg(tmp_path / "images" / f"{pair}_1.jpg", base)
+        _write_jpg(tmp_path / "images" / f"{pair}_2.jpg", warped)
+        pts = rng.uniform(10, 80, (10, 2))
+        ph = np.concatenate([pts, np.ones((10, 1))], 1) @ H.T
+        gt = np.concatenate([pts, ph[:, :2] / ph[:, 2:]], 1)
+        np.savetxt(str(tmp_path / "ground_truth" /
+                       f"control_points_{pair}_1_2.txt"), gt)
+
+    out = eval_fire(params, cfg, str(tmp_path), imsize=96, batch_size=1,
+                    log=lambda *_: None)
+    assert out["n_pairs"] == 3
+    assert set(out["auc_per_class"]) <= {"S", "P", "A"}
+    assert 0.0 <= out["mAUC"] <= 1.0
+
+
+def test_eval_isc_driver_runs(tiny_model, tmp_path):
+    from geoformer_tpu.eval.isc import eval_isc
+
+    cfg, params = tiny_model
+    rng = np.random.default_rng(5)
+    for d in ("query", "refer", "gd"):
+        (tmp_path / d).mkdir()
+    h, w = 96, 96
+    for name in ("10", "11"):
+        base = (rng.random((h, w)) * 255).astype(np.uint8)
+        H = np.array([[1, 0, -2.0], [0, 1, 3.0], [0, 0, 1]])
+        warped = cv2.warpPerspective(base, H, (w, h))
+        _write_jpg(tmp_path / "query" / f"{name}_2.jpg", warped)
+        _write_jpg(tmp_path / "refer" / f"{name}_1.jpg", base)
+        # normalized control points: query(x,y) -> refer(x,y)
+        pts_r = rng.uniform(10, 80, (8, 2))
+        ph = np.concatenate([pts_r, np.ones((8, 1))], 1) @ H.T
+        pts_q = ph[:, :2] / ph[:, 2:]
+        gd = np.concatenate([pts_q / [w, h], pts_r / [w, h]], 1)
+        np.savetxt(str(tmp_path / "gd" / f"{name}_2-{name}_1.txt"), gd)
+
+    out = eval_isc(params, cfg, str(tmp_path), imsize=96, batch_size=1,
+                   log=lambda *_: None)
+    assert out["n_pairs"] == 2
+    assert len(out["auc"]) == 3
