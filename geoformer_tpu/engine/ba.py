@@ -200,3 +200,106 @@ def ba_solve_sharded(prob: BAProblem, mesh, iters: int = 10,
     )
     return jax.jit(fn)(prob.cams, prob.points, prob.K, prob.obs_cam,
                        prob.obs_pt, prob.obs_uv, prob.obs_valid)
+
+
+def huberize(prob: BAProblem, delta: float) -> jax.Array:
+    """Per-observation Huber IRLS weights for the current residuals:
+    w = 1 for |r| <= delta, delta/|r| beyond — multiply into obs_valid-style
+    weights by scaling the residual rows (robust BA)."""
+    err = reprojection_errors(prob)
+    w = jnp.where(err <= delta, 1.0, delta / jnp.maximum(err, 1e-8))
+    return jnp.where(prob.obs_valid, w, 0.0)
+
+
+def ba_solve_points_sharded(prob: BAProblem, mesh, iters: int = 10,
+                            damping: float = 1e-3, axis: str = "data"):
+    """Map-partitioned distributed BA: POINTS and their observations shard
+    over the mesh axis (the "map blocks partitioned" layout of the north
+    star); each device owns its V blocks, W strip and point updates, and only
+    the reduced camera system [6C, 6C] + camera rhs are psum'd.
+
+    Requirements: obs arrays pre-grouped so that every observation of a point
+    lives on the same shard as the point (obs_pt indices are LOCAL to the
+    shard), and leading dims divisible by the mesh size.
+    """
+    from jax.sharding import PartitionSpec as P_
+
+    C = prob.cams.shape[0]
+    P_total = prob.points.shape[0]
+    n_dev = mesh.devices.size
+    P_local = P_total // n_dev
+    hp = jax.lax.Precision.HIGHEST
+
+    def local(cams, points, K, obs_cam, obs_pt, obs_uv, obs_valid):
+        def gn_step(state, _):
+            cams, points = state
+            p = BAProblem(cams, points, K, obs_cam, obs_pt, obs_uv, obs_valid)
+            r, Jc, Jp = _build_normal_blocks(p)
+            U = jax.ops.segment_sum(
+                jnp.einsum("nri,nrj->nij", Jc, Jc, precision=hp), obs_cam, C)
+            V = jax.ops.segment_sum(
+                jnp.einsum("nri,nrj->nij", Jp, Jp, precision=hp), obs_pt,
+                P_local)
+            bc = -jax.ops.segment_sum(
+                jnp.einsum("nri,nr->ni", Jc, r, precision=hp), obs_cam, C)
+            bp = -jax.ops.segment_sum(
+                jnp.einsum("nri,nr->ni", Jp, r, precision=hp), obs_pt,
+                P_local)
+            Wn = jnp.einsum("nri,nrj->nij", Jc, Jp, precision=hp)
+            cp = obs_cam * P_local + obs_pt
+            Wl = jax.ops.segment_sum(Wn, cp, C * P_local).reshape(
+                C, P_local, 6, 3)
+
+            Vinv = jnp.linalg.inv(V + damping * jnp.eye(3)[None])
+            WVinv = jnp.einsum("cpij,pjk->cpik", Wl, Vinv, precision=hp)
+            S_local = jnp.einsum("cpik,dplk->cidl", WVinv, Wl, precision=hp)
+            rhs_local = jnp.einsum("cpik,pk->ci", WVinv, bp, precision=hp)
+
+            # only the camera system crosses devices
+            U = jax.lax.psum(U, axis)
+            bc = jax.lax.psum(bc, axis)
+            S = jax.lax.psum(S_local, axis)
+            rhs = bc - jax.lax.psum(rhs_local, axis)
+
+            S = (U + damping * jnp.eye(6)[None]).reshape(C, 6, 1, 6) * \
+                jnp.eye(C)[:, None, :, None] - S
+            Sm = S.reshape(C * 6, C * 6)
+            maskv = jnp.arange(C * 6) >= 6
+            Sm = jnp.where(maskv[:, None] & maskv[None, :], Sm, 0.0)
+            Sm = Sm + jnp.diag(jnp.where(maskv, 0.0, 1.0))
+            rhs_m = jnp.where(maskv, rhs.reshape(-1), 0.0)
+            dx_c = jnp.linalg.solve(Sm, rhs_m).reshape(C, 6)
+
+            dx_p = jnp.einsum(
+                "pij,pj->pi", Vinv,
+                bp - jnp.einsum("cpij,ci->pj", Wl, dx_c, precision=hp))
+
+            new_cams = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx_c, cams)
+            new_points = points + dx_p
+
+            def rmse(pp):
+                e2 = jax.lax.psum((reprojection_errors(pp) ** 2).sum(), axis)
+                nv = jax.lax.psum(pp.obs_valid.sum(), axis)
+                return jnp.sqrt(e2 / jnp.maximum(nv, 1))
+
+            rmse_old = rmse(p)
+            rmse_new = rmse(p._replace(cams=new_cams, points=new_points))
+            accept = rmse_new < rmse_old
+            cams = jnp.where(accept, new_cams, cams)
+            points = jnp.where(accept, new_points, points)
+            return (cams, points), jnp.minimum(rmse_new, rmse_old)
+
+        with jax.default_matmul_precision("highest"):
+            (cams, points), hist = jax.lax.scan(
+                gn_step, (cams, points), None, length=iters)
+        return cams, points, hist
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P_(), P_(axis), P_(), P_(axis), P_(axis), P_(axis),
+                  P_(axis)),
+        out_specs=(P_(), P_(axis), P_()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(prob.cams, prob.points, prob.K, prob.obs_cam,
+                       prob.obs_pt, prob.obs_uv, prob.obs_valid)

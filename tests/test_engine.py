@@ -317,3 +317,61 @@ def test_homography_graph_closes_loop():
     # corners, so the optimum sits near 2.2 px; require a clear improvement
     assert err1 < 0.7 * err0, (err0, err1)
     assert err1 < 3.0, (err0, err1)
+
+
+def test_ba_points_sharded():
+    from jax.sharding import Mesh
+
+    from geoformer_tpu.engine.ba import ba_solve_points_sharded
+
+    rng = np.random.default_rng(9)
+    n_dev = min(4, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    C, P = 4, 16 * n_dev
+    prob, cams_gt = _make_ba_problem(rng, C=C, P=P, pose_noise=0.02,
+                                     point_noise=0.05)
+    # group observations by point shard with LOCAL point indices
+    P_local = P // n_dev
+    obs_cam = np.asarray(prob.obs_cam)
+    obs_pt = np.asarray(prob.obs_pt)
+    obs_uv = np.asarray(prob.obs_uv)
+    obs_valid = np.asarray(prob.obs_valid)
+    oc, op, ouv, ov = [], [], [], []
+    per_shard = None
+    for d in range(n_dev):
+        sel = (obs_pt // P_local) == d
+        assert per_shard is None or sel.sum() == per_shard
+        per_shard = sel.sum()
+        oc.append(obs_cam[sel])
+        op.append(obs_pt[sel] - d * P_local)     # local ids
+        ouv.append(obs_uv[sel])
+        ov.append(obs_valid[sel])
+    prob2 = prob._replace(
+        obs_cam=jnp.asarray(np.concatenate(oc)),
+        obs_pt=jnp.asarray(np.concatenate(op)),
+        obs_uv=jnp.asarray(np.concatenate(ouv)),
+        obs_valid=jnp.asarray(np.concatenate(ov)),
+    )
+    cams, points, hist = ba_solve_points_sharded(prob2, mesh, iters=10)
+    # verify with the GLOBAL problem at the optimized state
+    final = prob._replace(cams=cams, points=points)
+    err = float(jnp.sqrt((reprojection_errors(final) ** 2).sum()
+                         / prob.obs_valid.sum()))
+    assert err < 0.05, err
+    ate = float(ate_rmse(camera_centers(cams),
+                         camera_centers(jnp.asarray(cams_gt))))
+    assert ate < 0.02, ate
+
+
+def test_huber_weights():
+    from geoformer_tpu.engine.ba import huberize
+
+    rng = np.random.default_rng(10)
+    prob, _ = _make_ba_problem(rng, C=3, P=20, noise_px=0.0)
+    # corrupt one observation heavily
+    uv = np.asarray(prob.obs_uv).copy()
+    uv[0] += 100.0
+    prob = prob._replace(obs_uv=jnp.asarray(uv))
+    w = np.asarray(huberize(prob, delta=2.0))
+    assert w[0] < 0.05          # outlier strongly downweighted
+    assert (w[1:] > 0.99).all()  # clean observations untouched
