@@ -375,3 +375,85 @@ def test_huber_weights():
     w = np.asarray(huberize(prob, delta=2.0))
     assert w[0] < 0.05          # outlier strongly downweighted
     assert (w[1:] > 0.99).all()  # clean observations untouched
+
+
+def test_pnp_ransac_recovers_pose():
+    from geoformer_tpu.engine.lie import se3_log
+    from geoformer_tpu.engine.pnp import pnp_ransac
+
+    rng = np.random.default_rng(11)
+    K = np.array([[400.0, 0, 320], [0, 400, 240], [0, 0, 1]], np.float32)
+    xi = np.array([0.05, -0.1, 0.03, 0.4, -0.2, 0.1], np.float32)
+    T_gt = np.asarray(se3_exp(jnp.asarray(xi)))
+    n, cap = 80, 128
+    pts = rng.uniform([-2, -2, 4], [2, 2, 8], (n, 3)).astype(np.float32)
+    pc = pts @ T_gt[:3, :3].T + T_gt[:3, 3]
+    uv = (pc / pc[:, 2:]) @ K.T
+    uv = uv[:, :2] + rng.normal(0, 0.5, (n, 2))
+    # 25% outliers
+    uv[:20] = rng.uniform(0, 640, (20, 2))
+
+    P = np.zeros((cap, 3), np.float32)
+    U = np.zeros((cap, 2), np.float32)
+    V = np.zeros(cap, bool)
+    P[:n], U[:n], V[:n] = pts, uv, True
+
+    out = pnp_ransac(jax.random.key(0), jnp.asarray(P), jnp.asarray(U),
+                     jnp.asarray(K), jnp.asarray(V), thr_px=4.0)
+    assert bool(out["ok"])
+    T = np.asarray(out["T"])
+    dxi = np.asarray(se3_log(jnp.asarray(
+        (T @ np.linalg.inv(T_gt)).astype(np.float32))))
+    assert np.abs(dxi[:3]).max() < 0.01, dxi    # rotation error < 0.6 deg
+    assert np.abs(dxi[3:]).max() < 0.05, dxi    # translation error
+    inl = np.asarray(out["inliers"])
+    assert inl[20:n].mean() > 0.9
+    assert inl[:20].mean() < 0.2
+
+
+def test_end_to_end_localization():
+    """Map building (tracks -> triangulate -> BA) then query localization via
+    2D-3D matching + PnP — the native replacement for the COLMAP/hloc
+    localization stage."""
+    from geoformer_tpu.engine.pnp import pnp_ransac
+    from geoformer_tpu.engine.sfm import build_ba_problem, chain_tracks
+
+    rng = np.random.default_rng(12)
+    K = np.array([[300.0, 0, 160], [0, 300, 120], [0, 0, 1]], np.float32)
+    C, P = 5, 60
+    pts = rng.uniform([-2, -2, 6], [2, 2, 10], (P, 3)).astype(np.float32)
+    cams = np.stack([np.asarray(se3_exp(jnp.asarray(
+        np.array([0, 0.01 * i, 0, 0.25 * i, 0, 0], np.float32))))
+        for i in range(C)])
+
+    def proj(T, X):
+        pc = X @ T[:3, :3].T + T[:3, 3]
+        return (pc / pc[:, 2:]) @ K.T
+
+    uvs = [proj(cams[c], pts)[:, :2] for c in range(C)]
+    tracks = chain_tracks([(uvs[i], uvs[i + 1]) for i in range(C - 1)],
+                          cell=8.0)
+    tracks = [t for t in tracks if len(t) == C]
+    prob = build_ba_problem(cams, K, tracks, max_points=64, max_obs=512)
+    cams_opt, pts_opt, _ = ba_solve(prob, iters=8)
+
+    # query camera (held out), observing the mapped landmarks
+    T_q = np.asarray(se3_exp(jnp.asarray(
+        np.array([0.02, -0.03, 0.01, 0.6, 0.1, -0.05], np.float32))))
+    n_land = len(tracks)
+    land = np.asarray(pts_opt[:n_land])
+    uv_q = proj(T_q.astype(np.float32), land.astype(np.float32))[:, :2]
+    uv_q = uv_q + rng.normal(0, 0.3, uv_q.shape)
+
+    cap = 64
+    P3 = np.zeros((cap, 3), np.float32)
+    U2 = np.zeros((cap, 2), np.float32)
+    V = np.zeros(cap, bool)
+    P3[:n_land], U2[:n_land], V[:n_land] = land, uv_q, True
+    out = pnp_ransac(jax.random.key(1), jnp.asarray(P3), jnp.asarray(U2),
+                     jnp.asarray(K), jnp.asarray(V))
+    assert bool(out["ok"])
+    centers_est = camera_centers(jnp.asarray(np.asarray(out["T"])[None]))
+    centers_gt = camera_centers(jnp.asarray(T_q[None].astype(np.float32)))
+    err = float(jnp.linalg.norm(centers_est - centers_gt))
+    assert err < 0.05, err   # localized within 5 cm in a ~1.5 m trajectory
