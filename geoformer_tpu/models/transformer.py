@@ -82,6 +82,23 @@ class EncoderLayer(nn.Module):
                                      zero_empty_rows=zero_empty_rows)
         return self._finish(x, message)
 
+    def project_kv(self, source):
+        """K/V projections over a token set [B, S, C] -> ([B,S,H,D] x2).
+        Projecting once and gathering windows afterwards is math-identical to
+        projecting gathered windows (linear ops commute with gather) at 1/W^2
+        of the FLOPs."""
+        return self._heads(self.k_proj(source)), \
+            self._heads(self.v_proj(source))
+
+    def window_attend(self, x, k_win, v_win, window_mask=None,
+                      mask_fill: float = -1e8):
+        """Windowed attention with pre-projected, pre-gathered K/V
+        ([B, L, W, H, D])."""
+        q = self._heads(self.q_proj(x))
+        message = window_cross_attention(q, k_win, v_win, window_mask,
+                                         mask_fill=mask_fill)
+        return self._finish(x, message)
+
     def window_call(self, x, window_kv, window_mask=None,
                     mask_fill: float = -1e8):
         """Per-query windowed attention.

@@ -79,3 +79,36 @@ def test_geo_module_cross_identity_without_H():
 
     expect = add_position_encoding(cnn).reshape(1, 80, 32)
     np.testing.assert_allclose(np.asarray(f0), np.asarray(expect), atol=1e-6)
+
+
+def test_window_attend_equals_window_call():
+    """Pre-projected gathered K/V must equal projecting gathered windows."""
+    from geoformer_tpu.models.transformer import EncoderLayer
+
+    rng = np.random.default_rng(1)
+    d, h, l, w = 16, 2, 6, 4
+    x = jnp.asarray(rng.normal(size=(1, l, d)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(1, 10, d)).astype(np.float32))
+    cells = jnp.asarray(rng.integers(0, 10, (1, l, w)))
+    mask = jnp.asarray(rng.random((1, l, w)) > 0.2)
+
+    layer = EncoderLayer(d, h, attention="full", mlp_act="tanh")
+    params = layer.init(jax.random.key(0), x, src)
+
+    win = jax.vmap(lambda s, c: jnp.take(s, c.reshape(-1), axis=0))(
+        src, cells).reshape(1, l, w, d)
+    ref = layer.apply(params, x, win, mask, method=layer.window_call)
+
+    def pre(mod, x, src):
+        k, v = mod.project_kv(src)
+        kw = jax.vmap(lambda t, c: jnp.take(
+            t.reshape(-1, h * (d // h)), c.reshape(-1), axis=0))(
+            k.reshape(1, 10, -1), cells).reshape(1, l, w, h, d // h)
+        vw = jax.vmap(lambda t, c: jnp.take(
+            t.reshape(-1, h * (d // h)), c.reshape(-1), axis=0))(
+            v.reshape(1, 10, -1), cells).reshape(1, l, w, h, d // h)
+        return mod.window_attend(x, kw, vw, mask)
+
+    ours = layer.apply(params, x, src, method=pre)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
