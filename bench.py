@@ -21,9 +21,13 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--pallas", action="store_true")
+    # TPU-native defaults: bf16 compute + the Pallas GAM kernel (quality
+    # parity with f32 shown in RESULTS.md); --f32 for the reference dtype.
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
+    args.bf16 = not args.f32
+    args.pallas = not args.no_pallas
 
     from geoformer_tpu.core.cache import enable_compile_cache
 
