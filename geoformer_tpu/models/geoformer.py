@@ -16,14 +16,14 @@ bucketing with padding masks handles mixed aspect ratios).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from geoformer_tpu.config import GeoFormerConfig
-from geoformer_tpu.models.backbone import ResNetFPN
+from geoformer_tpu.models.backbone import build_backbone
 from geoformer_tpu.models.coarse_matching import CoarseMatches, coarse_match
 from geoformer_tpu.models.fine import (
     FineMatches,
@@ -42,6 +42,9 @@ class MatchOutput(NamedTuple):
     matches: CoarseMatches      # second-pass matches (drives the fine stage)
     fine: FineMatches           # final matches + fine confidence
     geo: GeoState               # RANSAC state (H, inlier stats)
+    # (f0, f1, g0, g1): coarse features before/after the GAM, for the
+    # streaming loss (ops/fused_loss.py) — empty unless return_feats=True.
+    feats: Tuple[jax.Array, jax.Array, jax.Array, jax.Array] = ()
 
 
 class GeoFormer(nn.Module):
@@ -56,6 +59,7 @@ class GeoFormer(nn.Module):
         mask1: Optional[jax.Array] = None,
         train: bool = False,
         return_conf: Optional[bool] = None,
+        return_feats: bool = False,
     ) -> MatchOutput:
         """
         Args:
@@ -74,8 +78,10 @@ class GeoFormer(nn.Module):
         dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
 
         # 1. Shared backbone on the concatenated pair (full_model.py:55-59).
-        backbone = ResNetFPN(cfg.backbone.initial_dim, cfg.backbone.block_dims,
-                             dtype=dtype, name="backbone")
+        assert tuple(cfg.backbone.resolution) == \
+            (cfg.coarse_scale, cfg.fine_scale), \
+            (cfg.backbone.resolution, cfg.coarse_scale, cfg.fine_scale)
+        backbone = build_backbone(cfg.backbone, dtype=dtype, name="backbone")
         feats_c, feats_f = backbone(
             jnp.concatenate([image0, image1], axis=0), train=train)
         cnn_c0, cnn_c1 = feats_c[:b], feats_c[b:]          # [B, h/8, w/8, 256]
@@ -154,9 +160,15 @@ class GeoFormer(nn.Module):
                              cfg.fine_match.thr)
 
         if return_conf is None:
-            return_conf = train
+            # Training defaults to the streaming loss over features; the
+            # dense [B, L, L] conf matrices are only ever materialized when
+            # explicitly requested (tests / debugging).
+            return_conf = False
         empty = jnp.zeros((b, 0, 0), f0.dtype)
         dect_conf = matches1.conf if return_conf else empty
         conf = matches2.conf if return_conf else empty
         matches_out = matches2._replace(conf=conf)
-        return MatchOutput(dect_conf, conf, matches_out, fine, geo_state)
+        feats = (f0, f1, g0, g1) if return_feats else \
+            (empty, empty, empty, empty)
+        return MatchOutput(dect_conf, conf, matches_out, fine, geo_state,
+                           feats)

@@ -107,3 +107,33 @@ def geo_loss(
     lf = fine_loss(fine_conf, fine_gt, fine_valid, cfg)
     total = (lc + ld) * cfg.coarse_weight + lf * cfg.fine_weight
     return total, {"loss_c": lc, "loss_d": ld, "loss_f": lf, "loss": total}
+
+
+def geo_loss_streaming(
+    feats,
+    gt_j: jax.Array,
+    gt_valid: jax.Array,
+    fine_conf: jax.Array,
+    fine_gt: jax.Array,
+    fine_valid: jax.Array,
+    cfg: LossConfig,
+    temperature: float = 0.1,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """geo_loss computed from coarse features + sparse GT without ever
+    materializing a [B, L, L] confidence or GT matrix (ops/fused_loss.py).
+    Value/gradient-equivalent to geo_loss(dense) — tests/test_fused_loss.py.
+
+    feats: (f0, f1, g0, g1) from MatchOutput.feats (return_feats=True).
+    """
+    from geoformer_tpu.ops.fused_loss import streaming_coarse_loss
+
+    f0, f1, g0, g1 = feats
+    lc = streaming_coarse_loss(g0, g1, gt_j, gt_valid, cfg, temperature,
+                               mask0, mask1)
+    ld = streaming_coarse_loss(f0, f1, gt_j, gt_valid, cfg, temperature,
+                               mask0, mask1)
+    lf = fine_loss(fine_conf, fine_gt, fine_valid, cfg)
+    total = (lc + ld) * cfg.coarse_weight + lf * cfg.fine_weight
+    return total, {"loss_c": lc, "loss_d": ld, "loss_f": lf, "loss": total}

@@ -61,6 +61,36 @@ def spvs_coarse_homography(
     return _coarse_gt_from_warps(w_pt0_c, w_pt1_c, (h0, w0), (h1, w1))
 
 
+def spvs_coarse_homography_sparse(
+    H_0to1: jax.Array,
+    H_1to0: jax.Array,
+    image_hw,
+    coarse_scale: int = 8,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+):
+    """Sparse-row form of spvs_coarse_homography: (gt_j [B, L0], gt_valid
+    [B, L0]) for the streaming loss — no [B, L0, L1] materialization."""
+    Himg, Wimg = image_hw
+    h0 = h1 = Himg // coarse_scale
+    w0 = w1 = Wimg // coarse_scale
+    l0, l1 = h0 * w0, h1 * w1
+    b = H_0to1.shape[0]
+
+    grid0 = match_coords(jnp.arange(l0), w0, coarse_scale)
+    grid1 = match_coords(jnp.arange(l1), w1, coarse_scale)
+    grid0 = jnp.broadcast_to(grid0[None], (b, l0, 2))
+    grid1 = jnp.broadcast_to(grid1[None], (b, l1, 2))
+    if mask0 is not None:
+        grid0 = grid0 * mask0.reshape(b, l0, 1)
+    if mask1 is not None:
+        grid1 = grid1 * mask1.reshape(b, l1, 1)
+
+    w_pt0_c = warp_points(grid0, H_0to1) / coarse_scale
+    w_pt1_c = warp_points(grid1, H_1to0) / coarse_scale
+    return sparse_coarse_gt_from_warps(w_pt0_c, w_pt1_c, (h0, w0), (h1, w1))
+
+
 def spvs_coarse_depth(
     depth0: jax.Array,
     depth1: jax.Array,
@@ -107,11 +137,57 @@ def spvs_coarse_depth(
     return _coarse_gt_from_warps(w_pt0, w_pt1, (h0, w0), (h1, w1))
 
 
-def _coarse_gt_from_warps(w_pt0_c, w_pt1_c, hw0_c, hw1_c) -> jax.Array:
+def spvs_coarse_depth_sparse(
+    depth0: jax.Array,
+    depth1: jax.Array,
+    T_0to1: jax.Array,
+    T_1to0: jax.Array,
+    K0: jax.Array,
+    K1: jax.Array,
+    image_hw,
+    coarse_scale: int = 8,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+    scale0: Optional[jax.Array] = None,
+    scale1: Optional[jax.Array] = None,
+):
+    """Sparse-row form of spvs_coarse_depth for the streaming loss."""
+    Himg, Wimg = image_hw
+    h0 = h1 = Himg // coarse_scale
+    w0 = w1 = Wimg // coarse_scale
+    l0, l1 = h0 * w0, h1 * w1
+    b = depth0.shape[0]
+    s0 = jnp.ones((b, 1, 2)) if scale0 is None else scale0[:, None, :]
+    s1 = jnp.ones((b, 1, 2)) if scale1 is None else scale1[:, None, :]
+
+    grid0 = jnp.broadcast_to(
+        match_coords(jnp.arange(l0), w0, coarse_scale)[None], (b, l0, 2))
+    grid1 = jnp.broadcast_to(
+        match_coords(jnp.arange(l1), w1, coarse_scale)[None], (b, l1, 2))
+    if mask0 is not None:
+        grid0 = grid0 * mask0.reshape(b, l0, 1)
+    if mask1 is not None:
+        grid1 = grid1 * mask1.reshape(b, l1, 1)
+
+    v0, w_pt0 = warp_kpts_depth(grid0 * s0, depth0, depth1, T_0to1, K0, K1)
+    v1, w_pt1 = warp_kpts_depth(grid1 * s1, depth1, depth0, T_1to0, K1, K0)
+    w_pt0 = jnp.where(v0[..., None], w_pt0, -1e6) / (coarse_scale * s1)
+    w_pt1 = jnp.where(v1[..., None], w_pt1, -1e6) / (coarse_scale * s0)
+    return sparse_coarse_gt_from_warps(w_pt0, w_pt1, (h0, w0), (h1, w1))
+
+
+def sparse_coarse_gt_from_warps(w_pt0_c, w_pt1_c, hw0_c, hw1_c):
+    """Sparse row form of the coarse GT assignment.
+
+    The cycle-consistent one-hot of spvs_coarse (supervision.py:77-98) has at
+    most one GT column per image0 cell, so the whole [B, L0, L1] matrix is
+    losslessly (gt_j [B, L0] int32, gt_valid [B, L0] bool). The streaming loss
+    (ops/fused_loss.py) consumes this directly; the dense matrix is only built
+    for tests/back-compat via _coarse_gt_from_warps.
+    """
     h0, w0 = hw0_c
     h1, w1 = hw1_c
     l0, l1 = h0 * w0, h1 * w1
-    b = w_pt0_c.shape[0]
 
     def nearest(pts, w, h, l):
         r = jnp.round(pts).astype(jnp.int32)
@@ -126,8 +202,18 @@ def _coarse_gt_from_warps(w_pt0_c, w_pt1_c, hw0_c, hw1_c) -> jax.Array:
     loop_back = jnp.take_along_axis(nearest0, nearest1, axis=1)  # [B, L0]
     correct = loop_back == jnp.arange(l0)[None]
     correct = correct.at[:, 0].set(False)                        # corner guard
+    return nearest1.astype(jnp.int32), correct
 
-    cols = jnp.where(correct, nearest1, l1)                      # drop invalid
+
+def _coarse_gt_from_warps(w_pt0_c, w_pt1_c, hw0_c, hw1_c) -> jax.Array:
+    h0, w0 = hw0_c
+    h1, w1 = hw1_c
+    l0, l1 = h0 * w0, h1 * w1
+    b = w_pt0_c.shape[0]
+    gt_j, gt_valid = sparse_coarse_gt_from_warps(
+        w_pt0_c, w_pt1_c, hw0_c, hw1_c)
+
+    cols = jnp.where(gt_valid, gt_j, l1)                         # drop invalid
     conf_gt = jnp.zeros((b, l0, l1 + 1), jnp.float32)
     brow = jnp.arange(b)[:, None]
     conf_gt = conf_gt.at[brow, jnp.arange(l0)[None], cols].set(1.0)

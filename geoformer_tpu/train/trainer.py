@@ -20,11 +20,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geoformer_tpu.config import GeoFormerConfig, TrainConfig
 from geoformer_tpu.models import GeoFormer
-from geoformer_tpu.train.loss import geo_loss
+from geoformer_tpu.train.loss import geo_loss_streaming
 from geoformer_tpu.train.optim import make_optimizer
 from geoformer_tpu.train.supervision import (
-    spvs_coarse_depth,
-    spvs_coarse_homography,
+    spvs_coarse_depth_sparse,
+    spvs_coarse_homography_sparse,
     spvs_fine_depth,
     spvs_fine_homography,
 )
@@ -72,16 +72,17 @@ def make_train_step(model: GeoFormer, opt: optax.GradientTransformation,
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["image0"], batch["image1"], mask0=mask0, mask1=mask1,
                 train=True, mutable=["batch_stats"],
-                rngs={"ransac": rng})
-            conf_gt = spvs_coarse_homography(
+                rngs={"ransac": rng}, return_feats=True)
+            gt_j, gt_valid = spvs_coarse_homography_sparse(
                 batch["H_0to1"], batch["H_1to0"], (H, W), cfg.coarse_scale,
                 mask0, mask1)
             fine_gt = spvs_fine_homography(
                 out.matches, batch["H_0to1"], wc, wc, cfg.coarse_scale,
                 cfg.fine_scale, cfg.fine_match.window_size)
-            loss, scalars = geo_loss(
-                out.conf, out.dect_conf, conf_gt, out.fine.fine_conf, fine_gt,
-                out.matches.valid, tcfg.loss, mask0, mask1)
+            loss, scalars = geo_loss_streaming(
+                out.feats, gt_j, gt_valid, out.fine.fine_conf, fine_gt,
+                out.matches.valid, tcfg.loss, cfg.match.dsmax_temperature,
+                mask0, mask1)
             scalars["num_inliers"] = out.geo.num_inliers.mean(
             ).astype(jnp.float32)
             scalars["num_matches"] = out.matches.valid.sum(-1).mean(
@@ -123,16 +124,17 @@ def make_val_step(model: GeoFormer, tcfg: TrainConfig):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["image0"], batch["image1"], mask0=mask0, mask1=mask1,
-            train=False, return_conf=True, rngs={"ransac": rng})
-        conf_gt = spvs_coarse_homography(
+            train=False, return_feats=True, rngs={"ransac": rng})
+        gt_j, gt_valid = spvs_coarse_homography_sparse(
             batch["H_0to1"], batch["H_1to0"], (H, W), cfg.coarse_scale,
             mask0, mask1)
         fine_gt = spvs_fine_homography(
             out.matches, batch["H_0to1"], wc, wc, cfg.coarse_scale,
             cfg.fine_scale, cfg.fine_match.window_size)
-        loss, scalars = geo_loss(
-            out.conf, out.dect_conf, conf_gt, out.fine.fine_conf, fine_gt,
-            out.matches.valid, tcfg.loss, mask0, mask1)
+        loss, scalars = geo_loss_streaming(
+            out.feats, gt_j, gt_valid, out.fine.fine_conf, fine_gt,
+            out.matches.valid, tcfg.loss, cfg.match.dsmax_temperature,
+            mask0, mask1)
         val = {f"val_{k}": v for k, v in scalars.items()}
 
         def fit_one(key, mk0, mk1, v):
@@ -177,8 +179,9 @@ def make_depth_train_step(model: GeoFormer, opt: optax.GradientTransformation,
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["image0"], batch["image1"], mask0=mask0, mask1=mask1,
-                train=True, mutable=["batch_stats"], rngs={"ransac": rng})
-            conf_gt = spvs_coarse_depth(
+                train=True, mutable=["batch_stats"], rngs={"ransac": rng},
+                return_feats=True)
+            gt_j, gt_valid = spvs_coarse_depth_sparse(
                 batch["depth0"], batch["depth1"], batch["T_0to1"],
                 batch["T_1to0"], batch["K0"], batch["K1"], (H, W),
                 cfg.coarse_scale, mask0, mask1,
@@ -189,9 +192,10 @@ def make_depth_train_step(model: GeoFormer, opt: optax.GradientTransformation,
                 cfg.coarse_scale, cfg.fine_scale,
                 cfg.fine_match.window_size,
                 scale0=batch.get("scale0"), scale1=batch.get("scale1"))
-            loss, scalars = geo_loss(
-                out.conf, out.dect_conf, conf_gt, out.fine.fine_conf, fine_gt,
-                out.matches.valid, tcfg.loss, mask0, mask1)
+            loss, scalars = geo_loss_streaming(
+                out.feats, gt_j, gt_valid, out.fine.fine_conf, fine_gt,
+                out.matches.valid, tcfg.loss, cfg.match.dsmax_temperature,
+                mask0, mask1)
             scalars["num_matches"] = out.matches.valid.sum(-1).mean(
             ).astype(jnp.float32)
             return loss, (mut.get("batch_stats", state.batch_stats), scalars)
@@ -209,6 +213,71 @@ def make_depth_train_step(model: GeoFormer, opt: optax.GradientTransformation,
             scalars
 
     return train_step
+
+
+def make_depth_val_step(model: GeoFormer, tcfg: TrainConfig):
+    """Validation step for depth-supervised training.
+
+    Mirrors PL_GeoFormer.validation_step (reference:
+    lightning/lightning_depth_geoformer.py:95-110,146-160): loss + per-match
+    symmetric epipolar errors in ORIGINAL image coordinates. Pose recovery
+    (cv2 essential RANSAC) is a host-side metric on the returned match arrays
+    — see train/depth_loop.py — so the jitted step stays fixed-shape.
+
+    Returns (scalars, pair_data) where pair_data carries mkpts0/mkpts1
+    [B, M, 2] (original resolution), valid [B, M], mconf and epi_errs [B, M].
+    """
+    from geoformer_tpu.geometry.depth import (
+        essential_from_pose,
+        symmetric_epipolar_distance,
+    )
+
+    cfg = model.config
+    H, W = tcfg.image_hw
+    wc = W // cfg.coarse_scale
+
+    def val_step(state: TrainState, batch: Dict[str, jax.Array],
+                 rng: jax.Array):
+        mask0 = batch.get("mask0")
+        mask1 = batch.get("mask1")
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image0"], batch["image1"], mask0=mask0, mask1=mask1,
+            train=False, return_feats=True, rngs={"ransac": rng})
+        gt_j, gt_valid = spvs_coarse_depth_sparse(
+            batch["depth0"], batch["depth1"], batch["T_0to1"],
+            batch["T_1to0"], batch["K0"], batch["K1"], (H, W),
+            cfg.coarse_scale, mask0, mask1,
+            batch.get("scale0"), batch.get("scale1"))
+        fine_gt = spvs_fine_depth(
+            out.matches, batch["depth0"], batch["depth1"],
+            batch["T_0to1"], batch["K0"], batch["K1"], wc, wc,
+            cfg.coarse_scale, cfg.fine_scale, cfg.fine_match.window_size,
+            scale0=batch.get("scale0"), scale1=batch.get("scale1"))
+        loss, scalars = geo_loss_streaming(
+            out.feats, gt_j, gt_valid, out.fine.fine_conf, fine_gt,
+            out.matches.valid, tcfg.loss, cfg.match.dsmax_temperature,
+            mask0, mask1)
+        scalars = {f"val_{k}": v for k, v in scalars.items()}
+        scalars["val_num_matches"] = out.fine.valid.sum(-1).mean(
+        ).astype(jnp.float32)
+
+        b = batch["image0"].shape[0]
+        s0 = batch.get("scale0")
+        s1 = batch.get("scale1")
+        mk0 = out.fine.mkpts0 * (jnp.ones((b, 1, 2)) if s0 is None
+                                 else s0[:, None, :])
+        mk1 = out.fine.mkpts1 * (jnp.ones((b, 1, 2)) if s1 is None
+                                 else s1[:, None, :])
+        E = essential_from_pose(batch["T_0to1"])
+        epi = jax.vmap(symmetric_epipolar_distance)(
+            mk0, mk1, E, batch["K0"], batch["K1"])
+        pair_data = {"mkpts0": mk0, "mkpts1": mk1,
+                     "valid": out.fine.valid, "mconf": out.fine.mconf,
+                     "epi_errs": epi}
+        return scalars, pair_data
+
+    return val_step
 
 
 def shard_train_step(train_step, mesh: Mesh, axis: str = "data"):
