@@ -73,6 +73,39 @@ def cmd_train(args):
     )
 
 
+def cmd_train_depth(args):
+    from geoformer_tpu.config import (
+        GeoFormerConfig,
+        GeoModuleConfig,
+        MatchConfig,
+    )
+    from geoformer_tpu.train.depth_loop import run_depth_training
+
+    model_cfg = GeoFormerConfig(
+        match=MatchConfig(max_matches=args.max_matches, force_one_match=True),
+        geo=GeoModuleConfig(ransac_iters=args.gam_ransac_iters,
+                            max_inliers=args.gam_max_inliers),
+    )
+    run_depth_training(
+        npz_dir=args.npz_dir,
+        root_dir=args.root,
+        val_npz_dir=args.val_npz_dir,
+        steps=args.steps,
+        batch_size=args.batch,
+        image_hw=(args.imsize, args.imsize),
+        ckpt_dir=args.out,
+        log_every=args.log_every,
+        val_every=args.val_every,
+        n_val_batches=args.n_val_batches,
+        seed=args.seed,
+        model_cfg=model_cfg,
+        lr=args.lr,
+        resume=args.resume,
+        min_overlap_score=args.min_overlap,
+        depth_pad=args.depth_pad,
+    )
+
+
 def cmd_eval(args):
     cfg, params = _model_and_params(args)
     if args.benchmark == "hpatches":
@@ -155,6 +188,29 @@ def main():
     t.add_argument("--val-every", type=int, default=0)
     t.add_argument("--tensorboard", action="store_true")
     t.set_defaults(fn=cmd_train)
+
+    td = sub.add_parser("train-depth",
+                        help="depth-supervised (MegaDepth/ScanNet) training")
+    td.add_argument("--npz-dir", required=True, help="train scene npz dir")
+    td.add_argument("--root", required=True, help="dataset root dir")
+    td.add_argument("--val-npz-dir", default=None, help="val scene npz dir")
+    td.add_argument("--steps", type=int, default=1000)
+    td.add_argument("--batch", type=int, default=2)
+    td.add_argument("--imsize", type=int, default=640,
+                    help="square pad size (MegaDepth protocol)")
+    td.add_argument("--out", default="checkpoints_depth")
+    td.add_argument("--log-every", type=int, default=50)
+    td.add_argument("--val-every", type=int, default=500)
+    td.add_argument("--n-val-batches", type=int, default=8)
+    td.add_argument("--seed", type=int, default=66)
+    td.add_argument("--max-matches", type=int, default=512)
+    td.add_argument("--gam-ransac-iters", type=int, default=256)
+    td.add_argument("--gam-max-inliers", type=int, default=512)
+    td.add_argument("--lr", type=float, default=0.0)
+    td.add_argument("--resume", action="store_true")
+    td.add_argument("--min-overlap", type=float, default=0.4)
+    td.add_argument("--depth-pad", type=int, default=2000)
+    td.set_defaults(fn=cmd_train_depth)
 
     e = sub.add_parser("eval")
     e.add_argument("benchmark", choices=["hpatches", "fire", "isc"])

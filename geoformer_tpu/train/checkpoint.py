@@ -39,6 +39,29 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState,
     return TrainState(**restored)
 
 
+def save_checkpoint_monitored(ckpt_dir: str, state: TrainState, step: int,
+                              metrics: dict, monitor: str = "auc@10",
+                              mode: str = "max", keep: int = 5) -> None:
+    """Top-k checkpoint retention by a monitored metric.
+
+    Mirrors Lightning's ModelCheckpoint(monitor=..., save_top_k=5)
+    (reference: lightning/train_depth_geoformer.py:105-108 keeps top-5 by
+    auc@10; train_homo_geoformer.py:107-110 by val_loss): orbax keeps the
+    best `keep` steps ranked by metrics[monitor].
+    """
+    path = os.path.abspath(ckpt_dir)
+    os.makedirs(path, exist_ok=True)
+    with ocp.CheckpointManager(
+            path,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                best_fn=lambda m: float(m[monitor]),
+                best_mode=mode,
+            )) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state._asdict()),
+                 metrics={monitor: float(metrics[monitor])})
+
+
 def save_params(path: str, params: Any) -> None:
     """Standalone param export (eval-ready, no optimizer state)."""
     import pickle
