@@ -242,6 +242,164 @@ def read_points3d_binary(path: str) -> Dict[int, dict]:
     return out
 
 
+# ----------------------------------------------------------- text model IO
+
+CAMERA_MODEL_NAMES = {
+    0: "SIMPLE_PINHOLE", 1: "PINHOLE", 2: "SIMPLE_RADIAL", 3: "RADIAL",
+    4: "OPENCV", 5: "OPENCV_FISHEYE", 6: "FULL_OPENCV", 7: "FOV",
+    8: "SIMPLE_RADIAL_FISHEYE", 9: "RADIAL_FISHEYE", 10: "THIN_PRISM_FISHEYE",
+}
+CAMERA_MODEL_IDS = {v: k for k, v in CAMERA_MODEL_NAMES.items()}
+
+
+def camera_K(cam: dict) -> np.ndarray:
+    """3x3 intrinsics from a COLMAP camera dict (distortion ignored — the
+    matcher operates on undistorted/benchmark pixels)."""
+    p = np.asarray(cam["params"], np.float64)
+    mid = cam["model_id"]
+    name = CAMERA_MODEL_NAMES[mid]
+    if name == "PINHOLE" or name == "OPENCV" or name == "FULL_OPENCV" \
+            or name == "OPENCV_FISHEYE" or name == "THIN_PRISM_FISHEYE":
+        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+    else:  # SIMPLE_* / RADIAL / FOV: single focal
+        fx = fy = p[0]
+        cx, cy = p[1], p[2]
+    return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+
+
+def write_cameras_text(cameras: Dict[int, dict], path: str):
+    """COLMAP cameras.txt (read_write_model.py text-writer format)."""
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n"
+                "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+                f"# Number of cameras: {len(cameras)}\n")
+        for cid, c in cameras.items():
+            params = " ".join(repr(float(x)) for x in c["params"])
+            f.write(f"{cid} {CAMERA_MODEL_NAMES[c['model_id']]} "
+                    f"{c['width']} {c['height']} {params}\n")
+
+
+def read_cameras_text(path: str) -> Dict[int, dict]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            el = line.split()
+            out[int(el[0])] = {
+                "model_id": CAMERA_MODEL_IDS[el[1]],
+                "width": int(el[2]), "height": int(el[3]),
+                "params": np.array(el[4:], np.float64),
+            }
+    return out
+
+
+def write_images_text(images: Dict[int, dict], path: str):
+    """COLMAP images.txt: two lines per image (pose line + observation
+    line of x y point3D_id triples)."""
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n"
+                "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+                "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+                f"# Number of images: {len(images)}\n")
+        for iid, im in images.items():
+            q = " ".join(repr(float(x)) for x in im["qvec"])
+            t = " ".join(repr(float(x)) for x in im["tvec"])
+            f.write(f"{iid} {q} {t} {im['camera_id']} {im['name']}\n")
+            xys = np.asarray(im.get("xys", np.zeros((0, 2))))
+            ids = np.asarray(im.get("point3D_ids", np.zeros(0)), np.int64)
+            f.write(" ".join(
+                f"{repr(float(x))} {repr(float(y))} {int(i)}"
+                for (x, y), i in zip(xys, ids)) + "\n")
+
+
+def read_images_text(path: str) -> Dict[int, dict]:
+    out = {}
+    with open(path) as f:
+        # keep empty lines: images without observations write a blank
+        # second line, and dropping it would shift the pose/obs pairing
+        lines = [l.rstrip("\n").strip() for l in f
+                 if not l.startswith("#")]
+    for pose_line, obs_line in zip(lines[0::2], lines[1::2]):
+        el = pose_line.split()
+        iid = int(el[0])
+        obs = obs_line.split()
+        xys = np.array([obs[0::3], obs[1::3]], np.float64).T \
+            if obs else np.zeros((0, 2))
+        ids = np.array(obs[2::3], np.int64) if obs else np.zeros(0, np.int64)
+        out[iid] = {
+            "qvec": np.array(el[1:5], np.float64),
+            "tvec": np.array(el[5:8], np.float64),
+            "camera_id": int(el[8]), "name": el[9],
+            "xys": xys, "point3D_ids": ids,
+        }
+    return out
+
+
+def write_points3d_text(points: Dict[int, dict], path: str):
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n"
+                "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+                f"# Number of points: {len(points)}\n")
+        for pid, p in points.items():
+            xyz = " ".join(repr(float(x)) for x in p["xyz"])
+            rgb = " ".join(str(int(x)) for x in p.get("rgb", (0, 0, 0)))
+            track = " ".join(f"{int(i)} {int(k)}"
+                             for i, k in p.get("track", []))
+            f.write(f"{pid} {xyz} {rgb} {repr(float(p.get('error', 0.0)))}"
+                    f" {track}\n".rstrip() + "\n")
+
+
+def read_points3d_text(path: str) -> Dict[int, dict]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            el = line.split()
+            pid = int(el[0])
+            track = np.array(el[8:], np.int64).reshape(-1, 2)
+            out[pid] = {
+                "xyz": np.array(el[1:4], np.float64),
+                "rgb": np.array(el[4:7], np.uint8),
+                "error": float(el[7]),
+                "track": [tuple(t) for t in track],
+            }
+    return out
+
+
+def read_model(model_dir: str, ext: str = ".bin"):
+    """(cameras, images, points3d) from a COLMAP model directory."""
+    import os
+
+    j = lambda n: os.path.join(model_dir, n + ext)  # noqa: E731
+    if ext == ".bin":
+        return (read_cameras_binary(j("cameras")),
+                read_images_binary(j("images")),
+                read_points3d_binary(j("points3D")))
+    return (read_cameras_text(j("cameras")), read_images_text(j("images")),
+            read_points3d_text(j("points3D")))
+
+
+def write_model(cameras, images, points3d, model_dir: str,
+                ext: str = ".bin"):
+    import os
+
+    os.makedirs(model_dir, exist_ok=True)
+    j = lambda n: os.path.join(model_dir, n + ext)  # noqa: E731
+    if ext == ".bin":
+        write_cameras_binary(cameras, j("cameras"))
+        write_images_binary(images, j("images"))
+        write_points3d_binary(points3d, j("points3D"))
+    else:
+        write_cameras_text(cameras, j("cameras"))
+        write_images_text(images, j("images"))
+        write_points3d_text(points3d, j("points3D"))
+
+
 # ------------------------------------------------------- keypoint merging
 
 def quantize_keypoints(fpts: np.ndarray, kp_data: dict, psize: int = 48,
