@@ -80,13 +80,49 @@ def main():
 
     print(f"# compile+first: {compile_s:.1f}s  per-call ms: "
           f"{[round(t * 1e3, 1) for t in times]}", file=sys.stderr, flush=True)
+
+    # ---- MFU accounting (speed-of-light honesty, VERDICT round-1 #5) ----
+    # flops from the compiled executable's own cost analysis; peak from the
+    # device kind (override with GEOFORMER_PEAK_TFLOPS for new hardware).
+    mfu = tflops = None
+    try:
+        import os
+
+        ca = fwd.lower(params, bank[0], bank[1]).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        peaks = {  # dense bf16/f16 peak TFLOP/s per chip
+            "TPU v3": 123.0, "TPU v4": 275.0, "TPU v5": 394.0,
+            "TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v5p": 459.0,
+            "TPU v6 lite": 918.0, "TPU v6e": 918.0,
+        }
+        kind = jax.devices()[0].device_kind
+        peak = float(os.environ.get("GEOFORMER_PEAK_TFLOPS", 0)) or \
+            next((v for k, v in peaks.items() if k.lower() in kind.lower()),
+                 0.0)
+        if flops > 0:
+            tflops = flops / dt / 1e12
+            if peak:
+                mfu = tflops / peak
+        print(f"# flops/fwd={flops / 1e9:.1f} GF  kind={kind}  "
+              f"achieved={tflops if tflops else 0:.2f} TFLOP/s  "
+              f"peak={peak} TFLOP/s", file=sys.stderr, flush=True)
+    except Exception as e:  # cost analysis unsupported on some plugins
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr, flush=True)
+
     baseline = 5.0  # reference ~5 pairs/s/GPU at 480px (no published number)
-    print(json.dumps({
+    rec = {
         "metric": "matched_pairs_per_s_per_chip_480px",
         "value": round(pairs_per_s, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / baseline, 3),
-    }))
+    }
+    if tflops is not None:
+        rec["tflops_per_s"] = round(tflops, 2)
+    if mfu is not None:
+        rec["mfu"] = round(mfu, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

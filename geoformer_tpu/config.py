@@ -19,6 +19,9 @@ class BackboneConfig:
     initial_dim: int = 128
     block_dims: Tuple[int, ...] = (128, 196, 256)  # stages at 1/2, 1/4, 1/8
     # output: coarse features at 1/8 (block_dims[-1] ch), fine at 1/2 (block_dims[0] ch)
+    # (8, 2) ladder (default) or (16, 4) with 4 block_dims — must match
+    # GeoFormerConfig.coarse_scale / fine_scale (resnet_fpn.py:121-199)
+    resolution: Tuple[int, int] = (8, 2)
 
 
 @dataclasses.dataclass(frozen=True)

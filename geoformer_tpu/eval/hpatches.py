@@ -32,15 +32,23 @@ def _scale_H(sx: float, sy: float) -> np.ndarray:
 def fit_homography_np(p0: np.ndarray, p1: np.ndarray, thr: float,
                       iters: int = 2048, cap: int = 4096, seed: int = 0):
     """On-device RANSAC wrapper for host point sets; returns (H, inliers) or
-    (None, None)."""
+    (None, None). Inputs beyond ``cap`` correspondences are truncated (with a
+    warning) — harmless at the default match capacities (<= 1024), but keep
+    it visible rather than silent."""
     n = len(p0)
     if n < 4:
         return None, None
+    if n > cap:
+        import warnings
+
+        warnings.warn(f"fit_homography_np: truncating {n} -> {cap} "
+                      "correspondences (raise cap= to keep them all)")
+        n = cap
     cap = max(64, min(cap, int(2 ** np.ceil(np.log2(n)))))
     a = np.zeros((cap, 2), np.float32)
     b = np.zeros((cap, 2), np.float32)
     v = np.zeros(cap, bool)
-    a[:n], b[:n], v[:n] = p0[:cap], p1[:cap], True
+    a[:n], b[:n], v[:n] = p0[:n], p1[:n], True
     out = ransac_homography(jax.random.key(seed), jnp.asarray(a),
                             jnp.asarray(b), jnp.asarray(v), thr=thr,
                             iters=iters, refine_iters=3)

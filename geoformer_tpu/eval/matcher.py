@@ -35,6 +35,26 @@ def resize_shape(wo: int, ho: int, imsize: Optional[int], dfactor: int = 8,
     return wt, ht, (wo / wt, ho / ht)
 
 
+def ratio_preserving_resize(im: np.ndarray, target_hw) -> np.ndarray:
+    """Resize keeping aspect ratio (max scale), then center-crop/pad to
+    target (reference: utils/homography.py:698-720, minus the imgaug dep)."""
+    import cv2
+
+    th, tw = target_hw
+    h, w = im.shape[:2]
+    s = max(th / h, tw / w)
+    nh, nw = int(round(h * s)), int(round(w * s))
+    tmp = cv2.resize(im, (nw, nh))
+    # center crop-or-pad each axis to target
+    out = np.zeros((th, tw) + im.shape[2:], tmp.dtype)
+    dy, dx = (th - nh) // 2, (tw - nw) // 2
+    sy0, ty0 = (max(-dy, 0), max(dy, 0))
+    sx0, tx0 = (max(-dx, 0), max(dx, 0))
+    ch, cw = min(nh, th), min(nw, tw)
+    out[ty0:ty0 + ch, tx0:tx0 + cw] = tmp[sy0:sy0 + ch, sx0:sx0 + cw]
+    return out
+
+
 def enhance_retinal(im: np.ndarray) -> np.ndarray:
     """Retinal image enhancement: normalize -> CLAHE -> gamma 1.2
     (reference: utils/common_utils.py:210-246). uint8 in, uint8 out."""

@@ -49,17 +49,63 @@ def grid_points(h: int, w: int, scale: int = 1, dtype=jnp.float32) -> jax.Array:
     return jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
 
 
-def compute_valid_mask(image_hw, H: jax.Array, inverse: bool = False) -> jax.Array:
+def _disk_kernel(radius: int):
+    """Elliptical structuring element — the kernel the reference feeds its
+    erosion, cv2.getStructuringElement(MORPH_ELLIPSE, (2r, 2r))
+    (utils/homography.py:288-292). Uses cv2's own rasterization when
+    available (it is quirky for even sizes); numpy disk fallback otherwise.
+    Host-side static construction either way."""
+    import numpy as np
+
+    size = 2 * radius
+    try:
+        import cv2
+
+        return cv2.getStructuringElement(
+            cv2.MORPH_ELLIPSE, (size, size)).astype(np.float32)
+    except ImportError:
+        c = (size - 1) / 2
+        yy, xx = np.mgrid[0:size, 0:size]
+        return (((xx - c) ** 2 + (yy - c) ** 2) <= radius ** 2).astype(
+            np.float32)
+
+
+def erode_mask(mask: jax.Array, radius: int) -> jax.Array:
+    """Binary erosion of a [..., h, w] {0,1} mask by a disk of ``radius``.
+
+    TPU-native form of erosion2d (reference: utils/homography.py:142-157):
+    a pixel survives iff every kernel tap inside the footprint is 1 — an
+    XLA reduce-window/convolution instead of the unfold-min trick.
+    """
+    if radius <= 0:
+        return mask
+    k = jnp.asarray(_disk_kernel(radius))
+    kh, kw = k.shape
+    lead = mask.shape[:-2]
+    x = mask.reshape((-1,) + mask.shape[-2:])[..., None]   # [N, h, w, 1]
+    out = jax.lax.conv_general_dilated(
+        x, k[:, :, None, None],
+        window_strides=(1, 1),
+        padding=[((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    eroded = (out[..., 0] >= k.sum() - 1e-3).astype(mask.dtype)
+    return eroded.reshape(lead + mask.shape[-2:])
+
+
+def compute_valid_mask(image_hw, H: jax.Array, inverse: bool = False,
+                       erosion_radius: int = 0) -> jax.Array:
     """Boolean [h, w] mask of pixels that map inside the image under ``H``.
 
-    The reference warps a ones-image through the homography with kornia
-    (utils/homography.py:258-297). Equivalent closed form: pixel p is valid iff
-    H^{-1} p lands inside the source image (warping img by H places source pixel
-    q at position H q). We compute it analytically — no image resampling.
+    The reference warps a ones-image through the homography with kornia and
+    optionally erodes the border margin (utils/homography.py:258-297).
+    Equivalent closed form: pixel p is valid iff H^{-1} p lands inside the
+    source image (warping img by H places source pixel q at position H q).
+    We compute it analytically — no image resampling — then erode.
 
     Args:
         image_hw: (h, w) static.
         H: [3, 3]. If ``inverse`` the matrix is already the dst->src mapping.
+        erosion_radius: discard a margin of this radius (disk kernel).
     Returns:
         [h, w] float32 mask in {0, 1}.
     """
@@ -71,7 +117,58 @@ def compute_valid_mask(image_hw, H: jax.Array, inverse: bool = False) -> jax.Arr
         (src[:, 0] >= -0.5) & (src[:, 0] <= w - 0.5)
         & (src[:, 1] >= -0.5) & (src[:, 1] <= h - 0.5)
     )
-    return inb.reshape(h, w).astype(jnp.float32)
+    mask = inb.reshape(h, w).astype(jnp.float32)
+    return erode_mask(mask, erosion_radius)
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """Depth-to-space on NHWC: [N, H, W, C*r*r] -> [N, r*H, r*W, C]
+    (reference NCHW version: utils/homography.py:160-184)."""
+    n, h, w, c = x.shape
+    assert c % (r * r) == 0, (c, r)
+    x = x.reshape(n, h, w, r, r, c // (r * r))
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * r, w * r, c // (r * r))
+
+
+def pixel_shuffle_inv(x: jax.Array, r: int) -> jax.Array:
+    """Space-to-depth on NHWC: [N, H, W, C] -> [N, H/r, W/r, C*r*r]
+    (reference: utils/homography.py:187-212)."""
+    n, h, w, c = x.shape
+    assert h % r == 0 and w % r == 0, (h, w, r)
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // r, w // r, c * r * r)
+
+
+def mutual_matches_under_homography(
+    kpts1: jax.Array, kpts2: jax.Array, H: jax.Array,
+    dist_thresh: float = 3.0,
+    valid1=None, valid2=None,
+):
+    """Mutual-NN keypoint matching under a known homography, fixed-shape.
+
+    Re-derivation of torch_find_matches (reference:
+    utils/preprocess_utils.py:72-94, n_iters=1): kpts1 warp into image2,
+    mutual argmin of the distance matrix, gated by dist_thresh.
+
+    Args:
+        kpts1: [N1, 2]; kpts2: [N2, 2]; H: [3, 3] (1 -> 2).
+        valid1/valid2: optional boolean slot masks for padded inputs.
+    Returns:
+        (match12 [N1] int32 index into kpts2, matched [N1] bool).
+    """
+    p1 = warp_points(kpts1, H)
+    d = jnp.linalg.norm(p1[:, None, :] - kpts2[None, :, :], axis=-1)
+    if valid1 is not None:
+        d = jnp.where(valid1[:, None], d, jnp.inf)
+    if valid2 is not None:
+        d = jnp.where(valid2[None, :], d, jnp.inf)
+    min1 = d.argmin(axis=1)                                     # [N1]
+    min2 = d.argmin(axis=0)                                     # [N2]
+    mutual = jnp.take(min2, min1) == jnp.arange(kpts1.shape[0])
+    close = jnp.take_along_axis(d, min1[:, None], axis=1)[:, 0] < dist_thresh
+    return min1.astype(jnp.int32), mutual & close
 
 
 def four_point_homography(src: jax.Array, dst: jax.Array) -> jax.Array:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from geoformer_tpu.config import GeoFormerConfig
-from geoformer_tpu.models.backbone import ResNetFPN
+from geoformer_tpu.models.backbone import build_backbone
 from geoformer_tpu.models.coarse_matching import (
     CoarseMatches,
     coarse_match,
@@ -76,7 +76,7 @@ class LoFTR(nn.Module):
         b, H, W, _ = image0.shape
         h0c, w0c = H // cfg.coarse_scale, W // cfg.coarse_scale
 
-        backbone = ResNetFPN(cfg.backbone.initial_dim, cfg.backbone.block_dims,
+        backbone = build_backbone(cfg.backbone,
                              name="backbone")
         feats_c, feats_f = backbone(
             jnp.concatenate([image0, image1], axis=0), train=train)

@@ -1,8 +1,10 @@
 """Match visualization.
 
-Re-implementation of make_matching_figure (reference:
-model/loftr_src/utils/plotting.py:22-156): side-by-side pair with match lines,
-error-colormapped when GT is available, dynamic alpha by match count.
+Serves the same role as the reference's match-figure logging (reference:
+model/loftr_src/utils/plotting.py:22-156) with a different construction: the
+two images are composited into one side-by-side canvas (numpy), and matches
+are drawn as a single LineCollection in data coordinates — one axes, no
+per-line figure-space transforms.
 """
 
 from __future__ import annotations
@@ -13,7 +15,7 @@ import numpy as np
 
 
 def error_colors(errs: np.ndarray, thr: float, alpha: float = 1.0):
-    """Green->red by err/(2*thr) (plotting.py:9-19)."""
+    """Green->red by err/(2*thr) (plotting.py:9-19 color ramp)."""
     x = 1.0 - np.clip(errs / (thr * 2), 0, 1)
     c = np.clip(np.stack([2 - x * 2, x * 2, np.zeros_like(x)], -1), 0, 1)
     return np.concatenate([c, np.full_like(c[:, :1], alpha)], -1)
@@ -30,6 +32,20 @@ def dynamic_alpha(n: int) -> float:
     return 0.02
 
 
+def compose_pair(img0: np.ndarray, img1: np.ndarray, gap: int = 10):
+    """Stack two grayscale images side by side on one canvas.
+
+    Returns (canvas [H, W], x_offset of img1 on the canvas).
+    """
+    h = max(img0.shape[0], img1.shape[0])
+    w = img0.shape[1] + gap + img1.shape[1]
+    canvas = np.ones((h, w), np.float32)
+    canvas[: img0.shape[0], : img0.shape[1]] = img0
+    x1 = img0.shape[1] + gap
+    canvas[: img1.shape[0], x1: x1 + img1.shape[1]] = img1
+    return canvas, x1
+
+
 def make_matching_figure(
     img0: np.ndarray,
     img1: np.ndarray,
@@ -40,42 +56,40 @@ def make_matching_figure(
     path: Optional[str] = None,
     dpi: int = 75,
 ):
-    """Returns a matplotlib figure (or writes it to ``path``)."""
+    """Returns a matplotlib figure (or writes it to ``path`` and returns
+    None). All drawing happens in the data coordinates of one composited
+    canvas, so the segments need no figure-space transform gymnastics."""
     import matplotlib
 
     matplotlib.use("Agg")
+    from matplotlib.collections import LineCollection
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, 2, figsize=(10, 6), dpi=dpi)
-    for ax, im in zip(axes, (img0, img1)):
-        ax.imshow(im, cmap="gray")
-        ax.get_yaxis().set_ticks([])
-        ax.get_xaxis().set_ticks([])
-    fig.tight_layout(pad=1)
+    canvas, x1 = compose_pair(np.asarray(img0), np.asarray(img1))
+    fig, ax = plt.subplots(
+        figsize=(canvas.shape[1] / 100, canvas.shape[0] / 100), dpi=dpi)
+    ax.imshow(canvas, cmap="gray", vmin=0, vmax=1)
+    ax.set_axis_off()
+    fig.subplots_adjust(left=0, right=1, top=1, bottom=0)
 
-    if len(mkpts0) > 0:
+    n = len(mkpts0)
+    if n:
         if color is None:
-            a = dynamic_alpha(len(mkpts0))
-            color = np.tile([0.0, 1.0, 0.0, a], (len(mkpts0), 1))
-        fig.canvas.draw()
-        tf = fig.transFigure.inverted()
-        f0 = tf.transform(axes[0].transData.transform(mkpts0))
-        f1 = tf.transform(axes[1].transData.transform(mkpts1))
-        fig.lines = [
-            matplotlib.lines.Line2D((f0[i, 0], f1[i, 0]),
-                                    (f0[i, 1], f1[i, 1]),
-                                    transform=fig.transFigure,
-                                    c=color[i], linewidth=1)
-            for i in range(len(mkpts0))
-        ]
-        axes[0].scatter(mkpts0[:, 0], mkpts0[:, 1], c=color, s=4)
-        axes[1].scatter(mkpts1[:, 0], mkpts1[:, 1], c=color, s=4)
+            color = np.broadcast_to(
+                np.array([0.0, 1.0, 0.0, dynamic_alpha(n)]), (n, 4))
+        p0 = np.asarray(mkpts0, np.float64)
+        p1 = np.asarray(mkpts1, np.float64) + np.array([x1, 0.0])
+        segments = np.stack([p0, p1], axis=1)          # [n, 2, 2]
+        ax.add_collection(LineCollection(segments, colors=color,
+                                         linewidths=1))
+        ax.scatter(p0[:, 0], p0[:, 1], c=color, s=4)
+        ax.scatter(p1[:, 0], p1[:, 1], c=color, s=4)
 
     if text:
-        axes[0].text(0.01, 0.99, "\n".join(text),
-                     transform=axes[0].transAxes, fontsize=15, va="top",
-                     ha="left", color="k",
-                     bbox=dict(boxstyle="round", fc="w", alpha=0.8))
+        ax.annotate("\n".join(text), xy=(0.01, 0.99),
+                    xycoords="axes fraction", fontsize=15, va="top",
+                    ha="left", color="k",
+                    bbox=dict(boxstyle="round", fc="w", alpha=0.8))
     if path:
         fig.savefig(path, bbox_inches="tight", pad_inches=0)
         plt.close(fig)
