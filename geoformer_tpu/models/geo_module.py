@@ -161,11 +161,28 @@ class GeoModule(nn.Module):
         # below, but NaN-free math keeps gradients clean.
         H = jnp.where(state.has_H[:, None, None], state.H,
                       jnp.eye(3, dtype=state.H.dtype))
-        cells1, wmask1 = _window_cells(H, (h0, w0), (h1, w1), scale,
-                                       cfg.window_size)     # img0 queries -> img1
         Hinv = jnp.linalg.inv(H)
-        cells0, wmask0 = _window_cells(Hinv, (h1, w1), (h0, w0), scale,
-                                       cfg.window_size)     # img1 queries -> img0
+        # On TPU the cross layers use the gather-free box-mask kernel (each
+        # query's 5x5 window == a box mask around its warped center over the
+        # full token set); elsewhere, explicit window gathers.
+        use_box = cfg.use_pallas and jax.default_backend() == "tpu"
+        r = cfg.window_size // 2
+        if use_box:
+            def centers_of(Hm, hw_src, hw_dst):
+                hs, ws = hw_src
+                grid = match_coords(
+                    jnp.arange(hs * ws, dtype=jnp.int32), ws, scale)
+                warped = warp_points(grid[None], Hm)          # [B, Ls, 2] px
+                c = jnp.floor(jnp.clip(warped, -1e6, 1e6) / scale)
+                return c.astype(jnp.int32)
+
+            centers1 = centers_of(H, (h0, w0), (h1, w1))
+            centers0 = centers_of(Hinv, (h1, w1), (h0, w0))
+        else:
+            cells1, wmask1 = _window_cells(H, (h0, w0), (h1, w1), scale,
+                                           cfg.window_size)  # img0 q -> img1
+            cells0, wmask0 = _window_cells(Hinv, (h1, w1), (h0, w0), scale,
+                                           cfg.window_size)  # img1 q -> img0
 
         take_tok = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))
 
@@ -182,17 +199,26 @@ class GeoModule(nn.Module):
                 out1 = layer(feat1, kv1, None, kv_ok1, mask_fill=-1e8)
                 feat1 = jnp.where(any1[:, None, None], out1, feat1)
             elif name == "cross":
-                # NOTE: measured on v5e, gathering raw features once and
-                # projecting the windows (XLA fuses gather into the matmul)
-                # beats pre-projecting K/V and gathering twice — 183 vs
-                # 240 ms per B=4 forward — despite the 25x projection-FLOP
-                # difference. Keep the fused-gather form.
-                win1 = take_tok(feat1, cells1.reshape(b, -1)).reshape(
-                    b, h0 * w0, cfg.window_size ** 2, c)
-                win0 = take_tok(feat0, cells0.reshape(b, -1)).reshape(
-                    b, h1 * w1, cfg.window_size ** 2, c)
-                out0 = layer.window_call(feat0, win1, wmask1)
-                out1 = layer.window_call(feat1, win0, wmask0)
+                if use_box:
+                    # Gather-free box-mask kernel: projects K/V once per
+                    # token set (1/W^2 of the window-projection FLOPs) and
+                    # never materializes [B, L, W^2, C] windows in HBM.
+                    out0 = layer.box_window_call(feat0, feat1, centers1,
+                                                 (h1, w1), r)
+                    out1 = layer.box_window_call(feat1, feat0, centers0,
+                                                 (h0, w0), r)
+                else:
+                    # NOTE: measured on v5e, gathering raw features once and
+                    # projecting the windows (XLA fuses gather into the
+                    # matmul) beats pre-projecting K/V and gathering twice —
+                    # 183 vs 240 ms per B=4 forward — despite the 25x
+                    # projection-FLOP difference.
+                    win1 = take_tok(feat1, cells1.reshape(b, -1)).reshape(
+                        b, h0 * w0, cfg.window_size ** 2, c)
+                    win0 = take_tok(feat0, cells0.reshape(b, -1)).reshape(
+                        b, h1 * w1, cfg.window_size ** 2, c)
+                    out0 = layer.window_call(feat0, win1, wmask1)
+                    out1 = layer.window_call(feat1, win0, wmask0)
                 sel = state.has_H[:, None, None]
                 feat0 = jnp.where(sel, out0, feat0)
                 feat1 = jnp.where(sel, out1, feat1)

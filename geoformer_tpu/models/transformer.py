@@ -99,6 +99,22 @@ class EncoderLayer(nn.Module):
                                          mask_fill=mask_fill)
         return self._finish(x, message)
 
+    def box_window_call(self, x, source, centers, grid_hw, radius: int,
+                        mask_fill: float = -1e8):
+        """Gather-free windowed attention (TPU): each query attends to the
+        (2r+1)^2 box of destination cells around its warped center, computed
+        as an on-chip mask over the full pre-projected token set
+        (ops/pallas_attention.box_window_attention). Math-identical to
+        window_call on gathered windows."""
+        from geoformer_tpu.ops.pallas_attention import box_window_attention
+
+        q = self._heads(self.q_proj(x))
+        k = self._heads(self.k_proj(source))
+        v = self._heads(self.v_proj(source))
+        message = box_window_attention(q, k, v, centers, grid_hw, radius,
+                                       mask_fill)
+        return self._finish(x, message)
+
     def window_call(self, x, window_kv, window_mask=None,
                     mask_fill: float = -1e8):
         """Per-query windowed attention.

@@ -73,6 +73,112 @@ def test_encoder_layer_pallas_flag_cpu_fallback():
                                atol=1e-6)
 
 
+def test_mka_bwd_kernel_interpret_matches_jnp():
+    """The in-kernel backward (interpret mode) must equal the jnp backward."""
+    from geoformer_tpu.ops.pallas_attention import (
+        _mka_bwd_jnp,
+        _mka_bwd_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    b, l, s, h, d = 2, 16, 8, 2, 4
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3)
+
+    ref = _mka_bwd_jnp(q, k, v, mask, g, -1e8)
+    got = _mka_bwd_pallas(q, k, v, mask, g, -1e8, tile=8, interpret=True)
+    for a, b_ in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def _box_setup(b=2, hg=6, wg=8, h=2, d=4, radius=2, seed=11):
+    rng = np.random.default_rng(seed)
+    s = hg * wg
+    l = s
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    # centers wander off-grid to exercise partial and empty boxes
+    centers = jnp.asarray(rng.integers(-4, wg + 4, size=(b, l, 2)),
+                          jnp.int32)
+    centers = centers.at[..., 1].set(
+        jnp.asarray(rng.integers(-4, hg + 4, size=(b, l)), jnp.int32))
+    return q, k, v, centers, (hg, wg), radius
+
+
+def test_box_reference_matches_window_gather_path():
+    """box mask over the full token set == gathering the (2r+1)^2 window."""
+    from geoformer_tpu.models.geo_module import _window_cells
+    from geoformer_tpu.ops.attention import window_cross_attention
+    from geoformer_tpu.ops.pallas_attention import box_attention_reference
+
+    rng = np.random.default_rng(4)
+    b, hg, wg, h, d, scale = 2, 6, 8, 2, 4, 8
+    s = hg * wg
+    # mild random homographies around identity
+    H = jnp.asarray(np.eye(3)[None] + 0.02 * rng.normal(size=(b, 3, 3)),
+                    jnp.float32)
+    cells, wmask = _window_cells(H, (hg, wg), (hg, wg), scale, 5)
+    from geoformer_tpu.geometry.homography import warp_points
+    from geoformer_tpu.models.coarse_matching import match_coords
+
+    grid = match_coords(jnp.arange(s, dtype=jnp.int32), wg, scale)
+    centers = jnp.floor(
+        jnp.clip(warp_points(grid[None], H), -1e6, 1e6) / scale).astype(
+        jnp.int32)
+
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    kv = feat  # same tensor as both k and v for the comparison
+    take = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))
+    k_win = take(feat, cells.reshape(b, -1)).reshape(b, s, 25, h, d)
+    ref = window_cross_attention(q, k_win, k_win, wmask, mask_fill=-1e8)
+    got = box_attention_reference(q, kv, kv, centers, (hg, wg), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_box_fwd_kernel_interpret_matches_reference():
+    from geoformer_tpu.ops.pallas_attention import (
+        _box_forward,
+        box_attention_reference,
+    )
+
+    q, k, v, centers, grid_hw, r = _box_setup()
+    out, lse = _box_forward(q, k, v, centers, grid_hw, r, -1e8, 8, 8,
+                            interpret=True)
+    ref = box_attention_reference(q, k, v, centers, grid_hw, r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+    assert lse is not None and lse.shape == (2, 48, 2)
+
+
+def test_box_bwd_kernel_interpret_matches_reference():
+    from geoformer_tpu.ops.pallas_attention import (
+        _box_bwd_pallas,
+        _box_forward,
+        box_attention_reference,
+    )
+
+    q, k, v, centers, grid_hw, r = _box_setup(seed=12)
+    out, lse = _box_forward(q, k, v, centers, grid_hw, r, -1e8, 8, 8,
+                            interpret=True)
+    g = jnp.asarray(np.random.default_rng(13).normal(
+        size=q.shape).astype(np.float32))
+    got = _box_bwd_pallas(q, k, v, centers, g, out, lse, grid_hw, r, -1e8,
+                          8, 8, interpret=True)
+    _, vjp = jax.vjp(lambda a, b_, c: box_attention_reference(
+        a, b_, c, centers, grid_hw, r), q, k, v)
+    ref = vjp(g)
+    for a, b_ in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_masked_kv_attention_grad_matches_reference():
     rng = np.random.default_rng(3)
     b, l, s, h, d = 1, 6, 5, 2, 4
