@@ -67,6 +67,7 @@ def eval_hpatches(
     batch_size: int = 2,
     max_seqs: Optional[int] = None,
     task: str = "both",
+    prewarm: bool = True,
     log=print,
 ) -> Dict:
     """Run the full benchmark; returns a dict of metrics."""
@@ -74,6 +75,31 @@ def eval_hpatches(
     if max_seqs:
         seq_dirs = seq_dirs[:max_seqs]
     matcher = BatchedMatcher(config, params, batch_size=batch_size)
+
+    if prewarm:
+        # resolution-bucket census up front so every compile is paid (and
+        # logged) before the timed pair loop
+        from geoformer_tpu.eval.matcher import resize_shape
+
+        def resized(path):
+            from PIL import Image
+
+            with Image.open(path) as im:
+                wo, ho = im.size
+            wt, ht, _ = resize_shape(wo, ho, imsize)
+            return (ht, wt)
+
+        pair_shapes = []
+        for seq_dir in seq_dirs:
+            p1 = os.path.join(seq_dir, "1.ppm")
+            if not os.path.exists(p1):
+                continue
+            s1 = resized(p1)
+            for idx in range(2, 7):
+                p2 = os.path.join(seq_dir, f"{idx}.ppm")
+                if os.path.exists(p2):
+                    pair_shapes.append((s1, resized(p2)))
+        matcher.prewarm(pair_shapes, log=log)
 
     dists_all, dists_i, dists_v = [], [], []
     inlier_rates, n_matches, match_times = [], [], []

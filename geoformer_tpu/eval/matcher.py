@@ -110,6 +110,43 @@ class BatchedMatcher:
             self._jit_cache[hw] = fwd
         return self._jit_cache[hw]
 
+    def pair_bucket(self, shape0, shape1) -> Tuple[int, int]:
+        """The compile bucket a pair of (h, w) resized shapes lands in."""
+        shapes = [bucket_shape(*shape0), bucket_shape(*shape1)]
+        return (max(h for h, _ in shapes), max(w for _, w in shapes))
+
+    def prewarm(self, pair_shapes, log=print):
+        """Compile every resolution bucket up front.
+
+        Real benchmarks (HPatches: many aspect ratios) hit several 64-px
+        buckets; compiling them before the pair loop makes the eval
+        wall-clock predictable and makes the compile cost visible instead
+        of smeared over the first pair of each bucket.
+
+        Args:
+            pair_shapes: iterable of ((h0, w0), (h1, w1)) RESIZED shapes.
+        """
+        import time
+
+        buckets: Dict[Tuple[int, int], int] = {}
+        for s0, s1 in pair_shapes:
+            hw = self.pair_bucket(s0, s1)
+            buckets[hw] = buckets.get(hw, 0) + 1
+        log(f"prewarm: {len(buckets)} bucket(s): " + ", ".join(
+            f"{h}x{w} (x{c})" for (h, w), c in sorted(buckets.items())))
+        s = self.cfg.coarse_scale
+        for i, (H, W) in enumerate(sorted(buckets)):
+            t0 = time.time()
+            fn = self._get_fn((H, W))
+            res = fn(self.params,
+                     jnp.zeros((self.batch_size, H, W, 1)),
+                     jnp.zeros((self.batch_size, H, W, 1)),
+                     jnp.ones((self.batch_size, H // s, W // s)),
+                     jnp.ones((self.batch_size, H // s, W // s)))
+            jax.block_until_ready(res)
+            log(f"prewarm {i + 1}/{len(buckets)}: {H}x{W} "
+                f"compiled in {time.time() - t0:.1f}s")
+
     def match_batch(self, imgs0: List[np.ndarray], imgs1: List[np.ndarray]):
         """Match a list of same-bucket image pairs (arbitrary true sizes).
 
