@@ -98,9 +98,11 @@ def main():
             "TPU v6 lite": 918.0, "TPU v6e": 918.0,
         }
         kind = jax.devices()[0].device_kind
+        # longest key first: "TPU v5 lite" must win over its prefix "TPU v5"
         peak = float(os.environ.get("GEOFORMER_PEAK_TFLOPS", 0)) or \
-            next((v for k, v in peaks.items() if k.lower() in kind.lower()),
-                 0.0)
+            next((v for k, v in sorted(peaks.items(), key=lambda kv:
+                                       -len(kv[0]))
+                  if k.lower() in kind.lower()), 0.0)
         if flops > 0:
             tflops = flops / dt / 1e12
             if peak:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 
@@ -156,6 +157,56 @@ def cmd_infer(args):
         print(f"saved -> {args.out}")
 
 
+def cmd_slam(args):
+    import glob as _glob
+
+    import numpy as np
+
+    from geoformer_tpu.engine.slam import (
+        run_planar_slam,
+        save_trajectory,
+        trajectory_drift,
+    )
+    from geoformer_tpu.eval.matcher import BatchedMatcher, load_gray
+
+    paths = sorted(_glob.glob(os.path.join(args.images, args.glob)))
+    if len(paths) < 2:
+        raise SystemExit(f"need >=2 frames, found {len(paths)} "
+                         f"in {args.images}/{args.glob}")
+    frames = []
+    for p in paths:
+        im, _ = load_gray(p, args.imsize)
+        frames.append(im)
+    shapes = {f.shape for f in frames}
+    if len(shapes) != 1:
+        raise SystemExit(f"frames must share one shape, got {shapes}")
+
+    cfg, params = _model_and_params(args)
+    matcher = BatchedMatcher(cfg, params, batch_size=1)
+
+    def match_fn(i, j):
+        (mk0, mk1, _), = matcher.match_batch([frames[i]], [frames[j]])
+        return mk0, mk1
+
+    res = run_planar_slam(frames, match_fn, loop_stride=args.loop_stride,
+                          ransac_thr=args.ransac_thr)
+    out = {"frames": len(frames),
+           "edges_ok": sum(e["ok"] for e in res["edges"]),
+           "edges_total": len(res["edges"])}
+    if args.gt:
+        gt = np.load(args.gt)["H"] if args.gt.endswith(".npz") \
+            else np.loadtxt(args.gt)[:, 1:].reshape(-1, 3, 3)
+        hw = frames[0].shape
+        out["corner_drift_chained_px"] = round(
+            trajectory_drift(res["H_chained"], gt, hw), 3)
+        out["corner_drift_optimized_px"] = round(
+            trajectory_drift(res["H_traj"], gt, hw), 3)
+    if args.out:
+        save_trajectory(res["H_traj"], args.out)
+        out["trajectory"] = args.out
+    print(json.dumps(out))
+
+
 def main():
     p = argparse.ArgumentParser("geoformer-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,6 +270,19 @@ def main():
     e.add_argument("--max-seqs", type=int, default=None)
     common(e)
     e.set_defaults(fn=cmd_eval)
+
+    sl = sub.add_parser("slam",
+                        help="planar SLAM over an image sequence")
+    sl.add_argument("--images", required=True, help="frame directory")
+    sl.add_argument("--glob", default="*.png")
+    sl.add_argument("--loop-stride", type=int, default=0,
+                    help=">1 adds (i, i+stride) loop-closure edges")
+    sl.add_argument("--ransac-thr", type=float, default=3.0)
+    sl.add_argument("--gt", default=None,
+                    help="GT trajectory (npz with H [K,3,3], or txt)")
+    sl.add_argument("--out", default=None, help="trajectory txt output")
+    common(sl)
+    sl.set_defaults(fn=cmd_slam)
 
     i = sub.add_parser("infer")
     i.add_argument("image0")

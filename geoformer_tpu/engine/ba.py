@@ -62,8 +62,14 @@ def reprojection_errors(prob: BAProblem) -> jax.Array:
     return jnp.where(prob.obs_valid, err, 0.0)
 
 
-def _build_normal_blocks(prob: BAProblem):
-    """Per-observation Jacobians and residuals."""
+def _build_normal_blocks(prob: BAProblem, huber_delta: float = 0.0):
+    """Per-observation Jacobians and residuals.
+
+    ``huber_delta`` > 0 applies Huber IRLS row scaling: rows are multiplied
+    by sqrt(w), w = 1 inside the delta, delta/|r| beyond — so the normal
+    equations minimize the Huber cost at the current linearization (robust
+    BA; outlier observations stop dominating the quadratic model).
+    """
     cams = prob.cams[prob.obs_cam]
     pts = prob.points[prob.obs_pt]
 
@@ -76,15 +82,21 @@ def _build_normal_blocks(prob: BAProblem):
         return r, Jc, Jp
 
     r, Jc, Jp = jax.vmap(per_obs)(cams, pts, prob.obs_uv)
-    w = prob.obs_valid.astype(r.dtype)[:, None]
+    w = prob.obs_valid.astype(r.dtype)
+    if huber_delta > 0:
+        err = jnp.linalg.norm(r, axis=-1)
+        w = w * jnp.sqrt(jnp.where(err <= huber_delta, 1.0,
+                                   huber_delta / jnp.maximum(err, 1e-8)))
+    w = w[:, None]
     return r * w, Jc * w[..., None], Jp * w[..., None]
 
 
-def _normal_system(p: BAProblem, C: int, P: int, reduce_fn=None):
+def _normal_system(p: BAProblem, C: int, P: int, reduce_fn=None,
+                   huber_delta: float = 0.0):
     """Accumulate the normal-equation blocks from (possibly sharded)
     observations. ``reduce_fn`` sums partial blocks across devices (psum)."""
     hp = jax.lax.Precision.HIGHEST
-    r, Jc, Jp = _build_normal_blocks(p)
+    r, Jc, Jp = _build_normal_blocks(p, huber_delta)
     U = jax.ops.segment_sum(
         jnp.einsum("nri,nrj->nij", Jc, Jc, precision=hp),
         p.obs_cam, C)                                       # [C, 6, 6]
@@ -106,26 +118,30 @@ def _normal_system(p: BAProblem, C: int, P: int, reduce_fn=None):
     return U, V, bc, bp, Wfull, err2, nv
 
 
-@partial(jax.jit, static_argnames=("iters", "n_cams", "n_points"))
+@partial(jax.jit, static_argnames=("iters", "n_cams", "n_points",
+                                   "huber_delta"))
 def ba_solve(prob: BAProblem, iters: int = 10, damping: float = 1e-3,
-             n_cams: int = 0, n_points: int = 0):
+             n_cams: int = 0, n_points: int = 0, huber_delta: float = 0.0):
     """Run LM-damped Gauss-Newton BA. Returns (cams, points, rmse_history).
 
-    n_cams/n_points default to the array sizes (static).
+    n_cams/n_points default to the array sizes (static). huber_delta > 0
+    turns on Huber IRLS row weighting (robust to outlier observations).
     """
     return _ba_solve_impl(prob, iters, damping,
                           n_cams or prob.cams.shape[0],
-                          n_points or prob.points.shape[0], None)
+                          n_points or prob.points.shape[0], None,
+                          huber_delta)
 
 
 def _ba_solve_impl(prob: BAProblem, iters: int, damping: float, C: int,
-                   P: int, reduce_fn):
+                   P: int, reduce_fn, huber_delta: float = 0.0):
     hp = jax.lax.Precision.HIGHEST
 
     def gn_step(state, _):
         cams, points = state
         p = prob._replace(cams=cams, points=points)
-        U, V, bc, bp, Wfull, _, _ = _normal_system(p, C, P, reduce_fn)
+        U, V, bc, bp, Wfull, _, _ = _normal_system(p, C, P, reduce_fn,
+                                                   huber_delta)
 
         lamV = V + damping * jnp.eye(3)[None]
         Vinv = jnp.linalg.inv(lamV)                         # [P, 3, 3]
@@ -153,9 +169,16 @@ def _ba_solve_impl(prob: BAProblem, iters: int, damping: float, C: int,
         new_cams = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx_c, cams)
         new_points = points + dx_p
 
-        # accept only if error decreases (simple LM guard)
+        # accept only if error decreases (simple LM guard); under Huber the
+        # guard compares the robust cost, not the quadratic one
         def global_rmse(pp):
-            e2 = (reprojection_errors(pp) ** 2).sum()
+            err = reprojection_errors(pp)
+            if huber_delta > 0:
+                e2 = jnp.where(
+                    err <= huber_delta, err ** 2,
+                    huber_delta * (2 * err - huber_delta)).sum()
+            else:
+                e2 = (err ** 2).sum()
             nv = pp.obs_valid.sum()
             if reduce_fn is not None:
                 e2, nv = reduce_fn(e2), reduce_fn(nv)
@@ -163,6 +186,103 @@ def _ba_solve_impl(prob: BAProblem, iters: int, damping: float, C: int,
 
         rmse_old = global_rmse(p)
         rmse_new = global_rmse(p._replace(cams=new_cams, points=new_points))
+        accept = rmse_new < rmse_old
+        cams = jnp.where(accept, new_cams, cams)
+        points = jnp.where(accept, new_points, points)
+        return (cams, points), jnp.minimum(rmse_new, rmse_old)
+
+    with jax.default_matmul_precision("highest"):
+        (cams, points), hist = jax.lax.scan(
+            gn_step, (prob.cams, prob.points), None, length=iters)
+    return cams, points, hist
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "huber_delta"))
+def ba_solve_cg(prob: BAProblem, iters: int = 10, damping: float = 1e-3,
+                cg_iters: int = 32, huber_delta: float = 0.0):
+    """Gauss-Newton BA with a MATRIX-FREE conjugate-gradient Schur solve.
+
+    The dense path assembles S = (U+lam) - W V^-1 W^T as a [6C, 6C] matrix
+    via an O(C^2 P) einsum — fine for tens of cameras, prohibitive beyond.
+    Here CG applies S to a vector in O(N) per iteration via per-observation
+    W blocks and segment sums (no [C, P, 6, 3] W tensor either):
+
+        t_p = sum_{n: pt(n)=p} Wn^T x_cam(n) ;  s_p = V_p^-1 t_p ;
+        (S x)_c = (U_c + lam) x_c - sum_{n: cam(n)=c} Wn s_pt(n)
+
+    with the gauge fix (camera 0 frozen) folded into the operator. Scales
+    to hundreds of cameras / large point sets without a [6C, 6C] anywhere.
+    """
+    C = prob.cams.shape[0]
+    P = prob.points.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+
+    def gn_step(state, _):
+        cams, points = state
+        p = prob._replace(cams=cams, points=points)
+        r, Jc, Jp = _build_normal_blocks(p, huber_delta)
+        U = jax.ops.segment_sum(
+            jnp.einsum("nri,nrj->nij", Jc, Jc, precision=hp), p.obs_cam, C)
+        V = jax.ops.segment_sum(
+            jnp.einsum("nri,nrj->nij", Jp, Jp, precision=hp), p.obs_pt, P)
+        bc = -jax.ops.segment_sum(
+            jnp.einsum("nri,nr->ni", Jc, r, precision=hp), p.obs_cam, C)
+        bp = -jax.ops.segment_sum(
+            jnp.einsum("nri,nr->ni", Jp, r, precision=hp), p.obs_pt, P)
+        Wn = jnp.einsum("nri,nrj->nij", Jc, Jp, precision=hp)  # [N, 6, 3]
+
+        Vinv = jnp.linalg.inv(V + damping * jnp.eye(3)[None])
+        Ul = U + damping * jnp.eye(6)[None]
+        gauge = (jnp.arange(C) >= 1).astype(cams.dtype)[:, None]   # [C, 1]
+
+        def WT_x(x):      # [C, 6] -> [P, 3]: t_p = sum_{n: pt=p} Wn^T x_cam
+            per = jnp.einsum("nij,ni->nj", Wn, x[p.obs_cam], precision=hp)
+            return jax.ops.segment_sum(per, p.obs_pt, P)
+
+        def W_s(s):       # [P, 3] -> [C, 6]: sum_{n: cam=c} Wn s_pt
+            per = jnp.einsum("nij,nj->ni", Wn, s[p.obs_pt], precision=hp)
+            return jax.ops.segment_sum(per, p.obs_cam, C)
+
+        def S_apply(x):                                    # x: [C, 6]
+            x = x * gauge
+            s = jnp.einsum("pij,pj->pi", Vinv, WT_x(x), precision=hp)
+            y = jnp.einsum("cij,cj->ci", Ul, x, precision=hp) - W_s(s)
+            return y * gauge + x * (1 - gauge)             # frozen cam: I
+
+        rhs = (bc - W_s(jnp.einsum("pij,pj->pi", Vinv, bp,
+                                   precision=hp))) * gauge
+
+        def cg_body(_, st):
+            x, r, d, rs = st
+            Sd = S_apply(d)
+            alpha = rs / jnp.maximum((d * Sd).sum(), 1e-20)
+            x = x + alpha * d
+            r = r - alpha * Sd
+            rs_new = (r * r).sum()
+            d = r + (rs_new / jnp.maximum(rs, 1e-20)) * d
+            return x, r, d, rs_new
+
+        x0 = jnp.zeros_like(rhs)
+        st = (x0, rhs, rhs, (rhs * rhs).sum())
+        dx_c, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, st)
+        dx_c = dx_c * gauge
+
+        dx_p = jnp.einsum("pij,pj->pi", Vinv, bp - WT_x(dx_c),
+                          precision=hp)
+        new_cams = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx_c, cams)
+        new_points = points + dx_p
+
+        def cost(pp):
+            err = reprojection_errors(pp)
+            if huber_delta > 0:
+                e2 = jnp.where(err <= huber_delta, err ** 2,
+                               huber_delta * (2 * err - huber_delta)).sum()
+            else:
+                e2 = (err ** 2).sum()
+            return jnp.sqrt(e2 / jnp.maximum(pp.obs_valid.sum(), 1))
+
+        rmse_old = cost(p)
+        rmse_new = cost(p._replace(cams=new_cams, points=new_points))
         accept = rmse_new < rmse_old
         cams = jnp.where(accept, new_cams, cams)
         points = jnp.where(accept, new_points, points)

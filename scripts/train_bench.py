@@ -7,7 +7,11 @@ the dense-conf loss. Run in ONE process (axon tunnel is single-client).
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -457,3 +457,52 @@ def test_end_to_end_localization():
     centers_gt = camera_centers(jnp.asarray(T_q[None].astype(np.float32)))
     err = float(jnp.linalg.norm(centers_est - centers_gt))
     assert err < 0.05, err   # localized within 5 cm in a ~1.5 m trajectory
+
+
+def test_ba_cg_matches_dense_schur():
+    from geoformer_tpu.engine.ba import ba_solve_cg
+
+    rng = np.random.default_rng(21)
+    prob, cams_gt = _make_ba_problem(rng, pose_noise=0.02, point_noise=0.05)
+    cams_d, pts_d, _ = ba_solve(prob, iters=10)
+    cams_c, pts_c, _ = ba_solve_cg(prob, iters=10, cg_iters=64)
+    err_d = float(jnp.sqrt((reprojection_errors(
+        prob._replace(cams=cams_d, points=pts_d)) ** 2).mean()))
+    err_c = float(jnp.sqrt((reprojection_errors(
+        prob._replace(cams=cams_c, points=pts_c)) ** 2).mean()))
+    assert err_c < 0.05, (err_d, err_c)
+    ate = float(ate_rmse(camera_centers(cams_c),
+                         camera_centers(jnp.asarray(cams_gt))))
+    assert ate < 0.01, ate
+
+
+def test_ba_huber_resists_outliers():
+    rng = np.random.default_rng(22)
+    prob, cams_gt = _make_ba_problem(rng, pose_noise=0.02, point_noise=0.05)
+    # corrupt 10% of observations but leave them VALID (unlike the padding
+    # test) - only the robust loss can down-weight them
+    n = prob.obs_uv.shape[0]
+    bad = jnp.asarray(rng.random(n) < 0.10)
+    uv = jnp.where(bad[:, None], prob.obs_uv + 80.0, prob.obs_uv)
+    prob2 = prob._replace(obs_uv=uv)
+
+    cams_q, pts_q, _ = ba_solve(prob2, iters=12)
+    cams_h, pts_h, _ = ba_solve(prob2, iters=12, huber_delta=2.0)
+
+    def inlier_rmse(cams, pts):
+        err = np.asarray(reprojection_errors(
+            prob2._replace(cams=cams, points=pts)))
+        return float(np.sqrt((err[np.asarray(~bad)] ** 2).mean()))
+
+    e_quad = inlier_rmse(cams_q, pts_q)
+    e_hub = inlier_rmse(cams_h, pts_h)
+    # Huber can't fully null 10% gross outliers (it is not redescending),
+    # but it must beat the quadratic loss by a wide margin
+    assert e_hub < e_quad * 0.5, (e_quad, e_hub)
+    assert e_hub < 2.5, e_hub
+    # CG path accepts the same robust option
+    from geoformer_tpu.engine.ba import ba_solve_cg
+
+    cams_hc, pts_hc, _ = ba_solve_cg(prob2, iters=12, cg_iters=64,
+                                     huber_delta=2.0)
+    assert inlier_rmse(cams_hc, pts_hc) < e_quad * 0.5
