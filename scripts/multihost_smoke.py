@@ -85,6 +85,35 @@ def worker(pid: int):
               f"loss={loss:.4f} gathered={gathered['loss'].shape}", flush=True)
         assert np.isfinite(loss)
         assert gathered["loss"].shape[0] == N_PROC
+
+    # --- depth validation: per-host val batches (DDP-style), pose errors
+    # recovered on each host, aggregated across processes by the same
+    # all_gather path the depth training loop uses
+    from geoformer_tpu.train.depth_loop import run_depth_validation
+    from geoformer_tpu.train.trainer import make_depth_val_step
+
+    b_local = DEV_PER_PROC
+    K = np.tile(np.array([[100.0, 0, 40], [0, 100, 32], [0, 0, 1]],
+                         np.float32), (b_local, 1, 1))
+    T = np.tile(np.eye(4, dtype=np.float32), (b_local, 1, 1))
+    T[:, 0, 3] = 0.5
+    rng_v = np.random.default_rng(100 + pid)
+    dbatch = {
+        "image0": jnp.asarray(rng_v.random((b_local, *hw, 1), np.float32)),
+        "image1": jnp.asarray(rng_v.random((b_local, *hw, 1), np.float32)),
+        "depth0": jnp.full((b_local, *hw), 5.0),
+        "depth1": jnp.full((b_local, *hw), 5.0),
+        "T_0to1": jnp.asarray(T), "T_1to0": jnp.asarray(np.linalg.inv(T)),
+        "K0": jnp.asarray(K), "K1": jnp.asarray(K),
+        "scale0": jnp.ones((b_local, 2)), "scale1": jnp.ones((b_local, 2)),
+    }
+    val_fn = jax.jit(make_depth_val_step(model, tcfg))
+    agg = run_depth_validation(val_fn, state2, [dbatch], jax.random.key(9))
+    if pid == 0:
+        assert all(np.isfinite(agg[k]) for k in
+                   ("auc@5", "auc@10", "auc@20")), agg
+        print(f"[multihost] depth-val agg over "
+              f"{N_PROC} procs: auc@10={agg['auc@10']:.4f}", flush=True)
         print("[multihost] OK", flush=True)
 
 
