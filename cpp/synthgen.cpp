@@ -66,6 +66,88 @@ void texture_one(float* img, int h, int w, uint64_t seed, int n_blobs) {
     }
   }
 
+  // multi-octave value noise: real-image-like high-frequency detail.
+  for (int cell = 32; cell >= 8; cell /= 2) {
+    float amp = 0.10f * cell / 32.f + 0.05f;
+    int gh = h / cell + 2, gw = w / cell + 2;
+    std::vector<float> lat((size_t)gh * gw);
+    for (auto& v : lat) v = rng.uniform(-1.f, 1.f);
+    for (int y = 0; y < h; ++y) {
+      float fy = (float)y / cell;
+      int y0 = (int)fy;
+      float ty = fy - y0;
+      for (int x = 0; x < w; ++x) {
+        float fx = (float)x / cell;
+        int x0 = (int)fx;
+        float tx = fx - x0;
+        float v00 = lat[y0 * gw + x0], v01 = lat[y0 * gw + x0 + 1];
+        float v10 = lat[(y0 + 1) * gw + x0], v11 = lat[(y0 + 1) * gw + x0 + 1];
+        img[y * w + x] += amp * ((1 - ty) * ((1 - tx) * v00 + tx * v01) +
+                                 ty * ((1 - tx) * v10 + tx * v11));
+      }
+    }
+  }
+
+  // hard-edged rotated rectangles: corners + straight edges, the structure
+  // sub-pixel localization learns from (absent in blob/band textures).
+  for (int r = 0; r < 10; ++r) {
+    float cx = rng.uniform(0.f, (float)w), cy = rng.uniform(0.f, (float)h);
+    float hw2 = rng.uniform(4.f, 0.25f * w), hh2 = rng.uniform(4.f, 0.25f * h);
+    float th = rng.uniform(0.f, 3.14159265f);
+    float a = rng.uniform(-0.5f, 0.5f);
+    float cth = std::cos(th), sth = std::sin(th);
+    float rad = std::sqrt(hw2 * hw2 + hh2 * hh2);
+    int x0 = std::max(0, (int)(cx - rad)), x1 = std::min(w, (int)(cx + rad) + 1);
+    int y0 = std::max(0, (int)(cy - rad)), y1 = std::min(h, (int)(cy + rad) + 1);
+    for (int y = y0; y < y1; ++y) {
+      float dy = y - cy;
+      for (int x = x0; x < x1; ++x) {
+        float dx = x - cx;
+        float u = cth * dx + sth * dy, v = -sth * dx + cth * dy;
+        if (std::fabs(u) <= hw2 && std::fabs(v) <= hh2) img[y * w + x] += a;
+      }
+    }
+  }
+
+  // line segments (width 1-3 px): edge/corner features at pixel scale.
+  for (int l = 0; l < 12; ++l) {
+    float ax = rng.uniform(0.f, (float)w), ay = rng.uniform(0.f, (float)h);
+    float th = rng.uniform(0.f, 6.2831853f);
+    float len = rng.uniform(20.f, 0.8f * std::max(h, w));
+    float bx = ax + len * std::cos(th), by = ay + len * std::sin(th);
+    float half = 0.5f * rng.uniform(1.f, 3.f);
+    float a = rng.uniform(-0.6f, 0.6f);
+    float vx = bx - ax, vy = by - ay;
+    float vlen2 = std::max(vx * vx + vy * vy, 1e-6f);
+    int x0 = std::max(0, (int)(std::min(ax, bx) - half - 1));
+    int x1 = std::min(w, (int)(std::max(ax, bx) + half + 2));
+    int y0 = std::max(0, (int)(std::min(ay, by) - half - 1));
+    int y1 = std::min(h, (int)(std::max(ay, by) + half + 2));
+    for (int y = y0; y < y1; ++y) {
+      for (int x = x0; x < x1; ++x) {
+        float t = ((x - ax) * vx + (y - ay) * vy) / vlen2;
+        t = std::min(1.f, std::max(0.f, t));
+        float px = ax + t * vx - x, py = ay + t * vy - y;
+        if (px * px + py * py <= half * half) img[y * w + x] += a;
+      }
+    }
+  }
+
+  // occasionally a checkerboard patch (corner lattice, calibration-like)
+  if (rng.uniform() < 0.35f) {
+    float cell = rng.uniform(6.f, 20.f);
+    int cx0 = (int)rng.uniform(0.f, 0.6f * w);
+    int cy0 = (int)rng.uniform(0.f, 0.6f * h);
+    int cw = (int)rng.uniform(0.25f * w, 0.5f * w);
+    int ch = (int)rng.uniform(0.25f * h, 0.5f * h);
+    float a = rng.uniform(0.25f, 0.5f);
+    for (int y = cy0; y < std::min(h, cy0 + ch); ++y)
+      for (int x = cx0; x < std::min(w, cx0 + cw); ++x) {
+        int par = ((int)((x - cx0) / cell) + (int)((y - cy0) / cell)) & 1;
+        img[y * w + x] += par ? a : -a;
+      }
+  }
+
   // normalize to [0, 1]
   float mn = img[0], mx = img[0];
   for (int i = 1; i < h * w; ++i) {

@@ -28,8 +28,10 @@ from geoformer_tpu.ops.image_warp import warp_image
 
 def procedural_texture(rng: np.random.Generator, hw: Tuple[int, int],
                        n_blobs: int = 60) -> np.ndarray:
-    """Cheap structured grayscale texture: random oriented gaussian blobs +
-    gradients + bands — enough spatial structure for matching to latch onto."""
+    """Structured grayscale texture (numpy fallback of cpp/synthgen.cpp):
+    gaussian blobs + bands for low-frequency structure, value-noise octaves
+    for high-frequency detail, and hard-edged rectangles / line segments /
+    checker patches for the corners sub-pixel localization learns from."""
     h, w = hw
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     img = 0.15 * (xx / w) + 0.1 * (yy / h)
@@ -40,13 +42,65 @@ def procedural_texture(rng: np.random.Generator, hw: Tuple[int, int],
     for i in range(n_blobs):
         img += a[i] * np.exp(-(((xx - cx[i]) ** 2 + (yy - cy[i]) ** 2)
                                / (2 * s[i] ** 2)))
-    # a few random bands
     for _ in range(6):
         th = rng.uniform(0, np.pi)
         f = rng.uniform(0.01, 0.08)
         ph = rng.uniform(0, 2 * np.pi)
         img += 0.15 * np.sin(2 * np.pi * f *
                              (np.cos(th) * xx + np.sin(th) * yy) + ph)
+
+    # value-noise octaves
+    for cell in (32, 16, 8):
+        amp = 0.10 * cell / 32 + 0.05
+        gh, gw = h // cell + 2, w // cell + 2
+        lat = rng.uniform(-1, 1, (gh, gw)).astype(np.float32)
+        fy, fx = yy / cell, xx / cell
+        y0 = fy.astype(np.int32)
+        x0 = fx.astype(np.int32)
+        ty, tx = fy - y0, fx - x0
+        img += amp * ((1 - ty) * ((1 - tx) * lat[y0, x0]
+                                  + tx * lat[y0, x0 + 1])
+                      + ty * ((1 - tx) * lat[y0 + 1, x0]
+                              + tx * lat[y0 + 1, x0 + 1]))
+
+    # hard-edged rotated rectangles
+    for _ in range(10):
+        rcx, rcy = rng.uniform(0, w), rng.uniform(0, h)
+        hw2, hh2 = rng.uniform(4, 0.25 * w), rng.uniform(4, 0.25 * h)
+        th = rng.uniform(0, np.pi)
+        amp = rng.uniform(-0.5, 0.5)
+        u = np.cos(th) * (xx - rcx) + np.sin(th) * (yy - rcy)
+        v = -np.sin(th) * (xx - rcx) + np.cos(th) * (yy - rcy)
+        img += amp * ((np.abs(u) <= hw2) & (np.abs(v) <= hh2))
+
+    # line segments
+    for _ in range(12):
+        ax_, ay_ = rng.uniform(0, w), rng.uniform(0, h)
+        th = rng.uniform(0, 2 * np.pi)
+        ln = rng.uniform(20, 0.8 * max(h, w))
+        bx_, by_ = ax_ + ln * np.cos(th), ay_ + ln * np.sin(th)
+        half = 0.5 * rng.uniform(1, 3)
+        amp = rng.uniform(-0.6, 0.6)
+        vx, vy = bx_ - ax_, by_ - ay_
+        t = np.clip(((xx - ax_) * vx + (yy - ay_) * vy)
+                    / max(vx * vx + vy * vy, 1e-6), 0, 1)
+        d2 = (ax_ + t * vx - xx) ** 2 + (ay_ + t * vy - yy) ** 2
+        img += amp * (d2 <= half * half)
+
+    # occasional checkerboard patch
+    if rng.uniform() < 0.35:
+        cell = rng.uniform(6, 20)
+        cx0, cy0 = int(rng.uniform(0, 0.6 * w)), int(rng.uniform(0, 0.6 * h))
+        cw, ch = int(rng.uniform(0.25 * w, 0.5 * w)), int(
+            rng.uniform(0.25 * h, 0.5 * h))
+        amp = rng.uniform(0.25, 0.5)
+        px = ((xx - cx0) / cell).astype(np.int32)
+        py = ((yy - cy0) / cell).astype(np.int32)
+        patch = ((px + py) % 2 * 2 - 1).astype(np.float32) * amp
+        inside = ((xx >= cx0) & (xx < cx0 + cw)
+                  & (yy >= cy0) & (yy < cy0 + ch))
+        img += patch * inside
+
     img -= img.min()
     img /= max(img.max(), 1e-6)
     return img.astype(np.float32)
@@ -91,12 +145,20 @@ def make_pair_batch(base: jax.Array, key: jax.Array, coarse_scale: int = 8):
     img0 = base[..., None]
     img1 = warp_image(img0, Hs)
 
-    # photometric jitter on the warped view (stand-in for albumentations)
-    bright = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=-0.1, maxval=0.1)
-    contrast = jax.random.uniform(keys[2], (b, 1, 1, 1), minval=0.8,
-                                  maxval=1.2)
-    noise = 0.02 * jax.random.normal(keys[3], img1.shape)
-    img1 = jnp.clip((img1 + bright) * contrast + noise, 0.0, 1.0)
+    # photometric jitter on the warped view (stand-in for the reference's
+    # albumentations brightness/contrast/blur/noise stack)
+    kb, kc, kn, kg, kbl = jax.random.split(keys[1], 5)
+    bright = jax.random.uniform(kb, (b, 1, 1, 1), minval=-0.1, maxval=0.1)
+    contrast = jax.random.uniform(kc, (b, 1, 1, 1), minval=0.8, maxval=1.2)
+    noise = 0.02 * jax.random.normal(kn, img1.shape)
+    gamma = jax.random.uniform(kg, (b, 1, 1, 1), minval=0.75, maxval=1.35)
+    img1 = jnp.clip((img1 + bright) * contrast, 0.0, 1.0) ** gamma
+    # 30% of samples get a 3x3 box blur (motion-blur stand-in)
+    blur = jax.lax.conv_general_dilated(
+        img1, jnp.full((3, 3, 1, 1), 1.0 / 9.0, img1.dtype), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    do_blur = jax.random.uniform(kbl, (b, 1, 1, 1)) < 0.3
+    img1 = jnp.clip(jnp.where(do_blur, blur, img1) + noise, 0.0, 1.0)
 
     # coarse-resolution validity: cell center maps inside the source image
     hc, wc = h // coarse_scale, w // coarse_scale
@@ -130,7 +192,7 @@ def base_image_stream(hw: Tuple[int, int], batch: int, seed: int = 0,
     if bank is None:
         from geoformer_tpu.data.native import native_textures
 
-        bank = native_textures(64, hw[0], hw[1], seed)  # C++ fast path
+        bank = native_textures(256, hw[0], hw[1], seed)  # C++ fast path
         if bank is None:
             bank = np.stack([procedural_texture(rng, hw) for _ in range(64)])
     n = len(bank)
