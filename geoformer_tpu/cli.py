@@ -157,6 +157,41 @@ def cmd_infer(args):
         print(f"saved -> {args.out}")
 
 
+def cmd_localize(args):
+    from geoformer_tpu.eval.localize_driver import (
+        load_pairs_txt,
+        run_localization,
+    )
+    from geoformer_tpu.eval.matcher import BatchedMatcher, load_gray
+    from geoformer_tpu.eval.sfm_localize import parse_queries_with_intrinsics
+
+    cfg, params = _model_and_params(args)
+    matcher = BatchedMatcher(cfg, params, batch_size=1)
+    import numpy as np
+
+    def match_pairs_fn(n0, n1):
+        im0, sc0 = load_gray(os.path.join(args.images, n0), args.imsize)
+        im1, sc1 = load_gray(os.path.join(args.images, n1), args.imsize)
+        (mk0, mk1, _), = matcher.match_batch([im0], [im1])
+        return np.concatenate([mk0 * np.array(sc0), mk1 * np.array(sc1)],
+                              axis=1)
+
+    queries = parse_queries_with_intrinsics(args.queries)
+    run_localization(
+        nvm_path=args.nvm,
+        db_path=args.database,
+        out_dir=args.out,
+        match_pairs_fn=match_pairs_fn,
+        queries=queries,
+        query_pairs=load_pairs_txt(args.query_pairs),
+        db_pairs=load_pairs_txt(args.db_pairs) if args.db_pairs else None,
+        intrinsics_txt=args.intrinsics_txt,
+        covis_topk=args.covis_topk,
+        ransac_thr_px=args.ransac_thr,
+    )
+    print(f"poses -> {os.path.join(args.out, 'poses.txt')}")
+
+
 def cmd_slam(args):
     import glob as _glob
 
@@ -270,6 +305,25 @@ def main():
     e.add_argument("--max-seqs", type=int, default=None)
     common(e)
     e.set_defaults(fn=cmd_eval)
+
+    lz = sub.add_parser("localize",
+                        help="Aachen-style visual localization end-to-end")
+    lz.add_argument("--nvm", required=True, help="reference NVM model")
+    lz.add_argument("--database", required=True, help="COLMAP db with ids")
+    lz.add_argument("--images", required=True, help="image root dir")
+    lz.add_argument("--queries", required=True,
+                    help="queries_with_intrinsics.txt")
+    lz.add_argument("--query-pairs", required=True,
+                    help="txt: query db_image per line")
+    lz.add_argument("--db-pairs", default=None,
+                    help="txt of db pairs (default: covis from NVM)")
+    lz.add_argument("--intrinsics-txt", default=None,
+                    help="database_intrinsics.txt (Aachen v1)")
+    lz.add_argument("--covis-topk", type=int, default=20)
+    lz.add_argument("--ransac-thr", type=float, default=12.0)
+    lz.add_argument("--out", default="localization_out")
+    common(lz)
+    lz.set_defaults(fn=cmd_localize)
 
     sl = sub.add_parser("slam",
                         help="planar SLAM over an image sequence")

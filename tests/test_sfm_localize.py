@@ -230,3 +230,56 @@ def test_parse_queries_with_intrinsics(tmp_path):
     assert cam["model_id"] == 2 and cam["width"] == 1600
     K = camera_K(cam)
     assert K[0, 0] == pytest.approx(1469.2)
+
+
+def test_run_localization_driver(tmp_path, scene):
+    """Full driver: NVM + db -> covis pairs -> matches -> triangulation ->
+    query localization -> benchmark pose file."""
+    from geoformer_tpu.eval.colmap_io import ColmapDatabase
+    from geoformer_tpu.eval.localize_driver import run_localization
+
+    pts, K, cams, project = scene
+    nvm = str(tmp_path / "model.nvm")
+    _write_nvm(nvm, cams, project, pts)
+    db_path = str(tmp_path / "db.db")
+    db = ColmapDatabase(db_path)
+    for n in cams:
+        cid = db.add_camera(1, 640, 480, [400.0, 400.0, 320, 240])
+        db.add_image(n, cid)
+    db.close()
+
+    uvs, okv = {}, {}
+    for n, T in cams.items():
+        uv, z = project(T, pts)
+        okv[n] = (z > 0) & (uv[:, 0] > 0) & (uv[:, 0] < 640) & \
+            (uv[:, 1] > 0) & (uv[:, 1] < 480)
+        uvs[n] = uv
+    Tq = _look_at_pose(0.75)
+    Tq[:3, 3] += [0, -0.15, 0.05]
+    uvq, zq = project(Tq, pts)
+    okq = (zq > 0) & (uvq[:, 0] > 0) & (uvq[:, 0] < 640) & \
+        (uvq[:, 1] > 0) & (uvq[:, 1] < 480)
+
+    def match_pairs_fn(a, b):
+        ua, oa = (uvq, okq) if a == "q.jpg" else (uvs[a], okv[a])
+        ub, ob = (uvq, okq) if b == "q.jpg" else (uvs[b], okv[b])
+        ok = oa & ob
+        return np.concatenate([ua[ok], ub[ok]], -1).astype(np.float32)
+
+    queries = {"q.jpg": {"model_id": 1, "width": 640, "height": 480,
+                         "params": np.array([400.0, 400.0, 320, 240])}}
+    out = str(tmp_path / "loc")
+    poses = run_localization(
+        nvm_path=nvm, db_path=db_path, out_dir=out,
+        match_pairs_fn=match_pairs_fn, queries=queries,
+        query_pairs=[("q.jpg", n) for n in list(cams)[:2]],
+        covis_topk=3, quant_dthres=2.0, ransac_thr_px=4.0, log=lambda *a: None)
+    p = poses["q.jpg"]
+    assert p["ok"], p
+    R_est = qvec2rotmat(p["qvec"])
+    rot_err = np.rad2deg(np.arccos(np.clip(
+        (np.trace(R_est.T @ Tq[:3, :3]) - 1) / 2, -1, 1)))
+    assert rot_err < 1.0 and np.linalg.norm(p["tvec"] - Tq[:3, 3]) < 0.1
+    assert os.path.exists(os.path.join(out, "poses.txt"))
+    assert os.path.exists(os.path.join(out, "sfm_model", "points3D.bin"))
+    assert os.path.exists(os.path.join(out, "keypoints.h5"))
