@@ -125,6 +125,13 @@ def cmd_eval(args):
 
         out = eval_isc(params, cfg, args.data, imsize=args.imsize,
                        ransac_thr=args.ransac_thr)
+    elif args.benchmark == "isc-cls":
+        from geoformer_tpu.eval.isc import eval_isc_classification
+
+        # --data is a txt of `query refer label` lines (my_helper.py:225-324)
+        out = eval_isc_classification(params, cfg, args.data,
+                                      imsize=args.imsize,
+                                      ransac_thr=args.ransac_thr)
     else:
         raise SystemExit(f"unknown benchmark {args.benchmark}")
     print(json.dumps(out, indent=2, default=float))
@@ -299,7 +306,8 @@ def main():
     td.set_defaults(fn=cmd_train_depth)
 
     e = sub.add_parser("eval")
-    e.add_argument("benchmark", choices=["hpatches", "fire", "isc"])
+    e.add_argument("benchmark", choices=["hpatches", "fire", "isc",
+                                         "isc-cls"])
     e.add_argument("--data", required=True)
     e.add_argument("--ransac-thr", type=float, default=3.0)
     e.add_argument("--max-seqs", type=int, default=None)
