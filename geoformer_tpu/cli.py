@@ -55,7 +55,9 @@ def cmd_train(args):
     model_cfg = GeoFormerConfig(
         match=MatchConfig(max_matches=args.max_matches, force_one_match=True),
         geo=GeoModuleConfig(ransac_iters=args.gam_ransac_iters,
-                            max_inliers=args.gam_max_inliers),
+                            max_inliers=args.gam_max_inliers,
+                            use_pallas=args.pallas),
+        use_bf16=args.bf16,
     )
     run_training(
         image_dir=args.data,
@@ -280,6 +282,10 @@ def main():
     t.add_argument("--resume", action="store_true")
     t.add_argument("--val-every", type=int, default=0)
     t.add_argument("--tensorboard", action="store_true")
+    t.add_argument("--bf16", action="store_true",
+                   help="bf16 compute path (params stay f32)")
+    t.add_argument("--pallas", action="store_true",
+                   help="Pallas GAM kernels (masked-KV + box-window)")
     t.set_defaults(fn=cmd_train)
 
     td = sub.add_parser("train-depth",

@@ -150,6 +150,50 @@ def covis_pairs_from_nvm(path: str, topk: int = 20,
     return pairs
 
 
+def covis_pairs_from_model(images: Dict[int, dict],
+                           points3d: Dict[int, dict], topk: int = 20,
+                           out_txt: Optional[str] = None
+                           ) -> List[Tuple[str, str]]:
+    """Top-k covisibility pairs from a triangulated COLMAP model
+    (data_parsing.py:226-257 covis_pairs_from_reference_model) — the
+    Aachen v1.1 flow, where a binary model replaces the NVM."""
+    pt_to_ims = {pid: [iid for iid, _ in p.get("track", [])]
+                 for pid, p in points3d.items()}
+    pairs = []
+    for iid, im in images.items():
+        covis = defaultdict(int)
+        for pid in np.asarray(im.get("point3D_ids", ())):
+            if int(pid) < 0:
+                continue
+            for other in pt_to_ims.get(int(pid), ()):
+                if other != iid:
+                    covis[other] += 1
+        if not covis:
+            continue
+        ranked = sorted(covis, key=lambda i: -covis[i])[:topk]
+        pairs.extend((im["name"], images[i]["name"]) for i in ranked)
+    if out_txt:
+        os.makedirs(os.path.dirname(out_txt) or ".", exist_ok=True)
+        with open(out_txt, "w") as f:
+            for a, b in pairs:
+                f.write(f"{a} {b}\n")
+    return pairs
+
+
+def create_empty_model_from_reference_model(ref_dir: str, out_dir: str,
+                                            ext: str = ".bin"):
+    """Strip observations from an existing model: posed images + cameras,
+    zero points (data_parsing.py:81-99) — triangulation seed for v1.1."""
+    from geoformer_tpu.eval.colmap_io import read_model
+
+    cameras, images, _ = read_model(ref_dir, ext)
+    for im in images.values():
+        im["xys"] = np.zeros((0, 2))
+        im["point3D_ids"] = np.zeros(0, np.int64)
+    write_model(cameras, images, {}, out_dir, ext)
+    return cameras, images
+
+
 # --------------------------------------------------- database-side parsing
 
 

@@ -283,3 +283,48 @@ def test_run_localization_driver(tmp_path, scene):
     assert os.path.exists(os.path.join(out, "poses.txt"))
     assert os.path.exists(os.path.join(out, "sfm_model", "points3D.bin"))
     assert os.path.exists(os.path.join(out, "keypoints.h5"))
+
+
+def test_covis_from_model_and_empty_from_reference(tmp_path, scene):
+    from geoformer_tpu.eval.sfm_localize import (
+        covis_pairs_from_model,
+        create_empty_model_from_reference_model,
+    )
+
+    pts, K, cams, project = scene
+    # build a tiny triangulated model via the usual path
+    uvs, okv = {}, {}
+    for n, T in cams.items():
+        uv, z = project(T, pts)
+        okv[n] = (z > 0) & (uv[:, 0] > 0) & (uv[:, 0] < 640) & \
+            (uv[:, 1] > 0) & (uv[:, 1] < 480)
+        uvs[n] = uv
+    names = list(cams)
+    pair_matches = {}
+    for a, b in zip(names[:-1], names[1:]):
+        ok = okv[a] & okv[b]
+        pair_matches[(a, b)] = np.concatenate(
+            [uvs[a][ok], uvs[b][ok]], -1).astype(np.float32)
+    keypoints, matches_ids = collect_quantized_matches(pair_matches,
+                                                      dthres=2.0)
+    cameras = {1: {"model_id": 1, "width": 640, "height": 480,
+                   "params": np.array([400.0, 400.0, 320, 240])}}
+    images = {i: {"qvec": rotmat2qvec(T[:3, :3]), "tvec": T[:3, 3],
+                  "camera_id": 1, "name": n, "xys": np.zeros((0, 2)),
+                  "point3D_ids": np.zeros(0, np.int64)}
+              for i, (n, T) in enumerate(cams.items(), start=1)}
+    images, points3d = triangulate_model(cameras, images, keypoints,
+                                         matches_ids)
+
+    pairs = covis_pairs_from_model(images, points3d, topk=2)
+    assert pairs and all(a != b for a, b in pairs)
+    # every db image with points appears as a source
+    assert len({a for a, _ in pairs}) >= 3
+
+    ref = str(tmp_path / "refmodel")
+    write_model(cameras, images, points3d, ref, ".bin")
+    out = str(tmp_path / "empty_from_ref")
+    c2, i2 = create_empty_model_from_reference_model(ref, out)
+    c3, i3, p3 = read_model(out, ".bin")
+    assert len(p3) == 0 and len(i3) == len(images)
+    assert all(len(im["xys"]) == 0 for im in i3.values())
