@@ -112,3 +112,31 @@ def test_scene_stream_shapes(tmp_path):
     assert b["depth0"].shape == (2, 64, 64)
     assert b["mask0"].shape == (2, 8, 8)
     assert b["T_0to1"].shape == (2, 4, 4)
+
+
+def test_monitored_checkpoint_keeps_best(tmp_path):
+    """save_checkpoint_monitored retains the top-k steps ranked by the
+    monitored metric (Lightning save_top_k semantics)."""
+    import jax.numpy as jnp
+
+    from geoformer_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint_monitored,
+    )
+    from geoformer_tpu.train.trainer import TrainState
+
+    out = str(tmp_path / "ck")
+    aucs = {1: 0.1, 2: 0.5, 3: 0.3, 4: 0.9, 5: 0.2}
+    for step, auc in aucs.items():
+        st = TrainState(params={"w": jnp.full((2,), float(step))},
+                        batch_stats={}, opt_state={},
+                        step=jnp.asarray(step, jnp.int32))
+        save_checkpoint_monitored(out, st, step, {"auc@10": auc}, keep=2)
+    kept = sorted(int(d) for d in os.listdir(out) if d.isdigit())
+    assert kept == [2, 4], kept  # the two best by auc@10
+
+    # restore loads the latest kept step
+    tmpl = TrainState(params={"w": jnp.zeros((2,))}, batch_stats={},
+                      opt_state={}, step=jnp.asarray(0, jnp.int32))
+    st = restore_checkpoint(out, tmpl)
+    assert int(st.step) == 4
