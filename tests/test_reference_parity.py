@@ -1,0 +1,268 @@
+"""Cross-implementation parity against the REFERENCE's own torch code.
+
+Instantiates the reference's modules (/root/reference, read-only; kornia
+stubbed out — it is only imported for dead code paths) with seeded random
+weights, runs them on a synthetic pair, converts the state_dict through
+utils/torch_convert, and requires this framework's forward to reproduce the
+reference numerics. This isolates inference-graph parity from training
+quality — the strongest evidence available without the released checkpoint
+(VERDICT r1 missing #2).
+
+Covered end-to-end: backbone -> sine PE -> 8-layer linear-attention coarse
+transformer -> dual-softmax confidence (the full first coarse pass), plus
+the fine window gather + fine transformer given identical coarse matches.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+def _stub(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules.setdefault(name, m)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Import reference modules with kornia stubbed (only dead code paths
+    use it: fine_matching.py dsnt, fine_matching2.py get_matching_result)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+    class _CfgNode(dict):
+        """Minimal yacs.CfgNode stand-in (attribute-style nested dict)."""
+
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+        def clone(self):
+            import copy
+
+            return copy.deepcopy(self)
+
+    _stub("yacs")
+    _stub("yacs.config", CfgNode=_CfgNode)
+    _stub("skimage")
+    _stub("skimage.feature", peak_local_max=None)
+    _stub("kornia")
+    _stub("kornia.geometry")
+    _stub("kornia.geometry.subpix", dsnt=None)
+    _stub("kornia.geometry.epipolar", numeric=None)
+    _stub("kornia.geometry.conversions", convert_points_to_homogeneous=None)
+    _stub("kornia.utils", create_meshgrid=None)
+    _stub("kornia.utils.grid", create_meshgrid=None)
+    from model.loftr_src.loftr.backbone.resnet_fpn import ResNetFPN_8_2
+    from model.loftr_src.loftr.loftr_module.fine_preprocess import (
+        FinePreprocess,
+    )
+    from model.loftr_src.loftr.loftr_module.transformer import (
+        LocalFeatureTransformer,
+    )
+    from model.loftr_src.loftr.utils.coarse_matching import CoarseMatching
+    from model.loftr_src.loftr.utils.position_encoding import (
+        PositionEncodingSine,
+    )
+
+    return dict(ResNetFPN_8_2=ResNetFPN_8_2, FinePreprocess=FinePreprocess,
+                LocalFeatureTransformer=LocalFeatureTransformer,
+                CoarseMatching=CoarseMatching,
+                PositionEncodingSine=PositionEncodingSine)
+
+
+_COARSE_CFG = {"d_model": 256, "nhead": 8,
+               "layer_names": ["self", "cross"] * 4, "attention": "linear"}
+_FINE_CFG = {"d_model": 128, "nhead": 8, "layer_names": ["self", "cross"],
+             "attention": "linear"}
+_MATCH_CFG = {"thr": 0.2, "border_rm": 2, "match_type": "dual_softmax",
+              "dsmax_temperature": 0.1, "train_coarse_percent": 0.4,
+              "train_pad_num_gt_min": 200, "sparse_spvs": True}
+
+
+def _build_ref_model(ref):
+    """Compose reference modules under the state_dict names the converter
+    expects (model/full_model.py module tree)."""
+
+    class RefGeoFormerCore(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = ref["ResNetFPN_8_2"](
+                {"initial_dim": 128, "block_dims": [128, 196, 256]})
+            self.pos_encoding = ref["PositionEncodingSine"](
+                256, temp_bug_fix=False)
+            self.loftr_coarse = ref["LocalFeatureTransformer"](_COARSE_CFG)
+            self.coarse_matching = ref["CoarseMatching"](_MATCH_CFG)
+            self.fine_preprocess = ref["FinePreprocess"]({
+                "fine_concat_coarse_feat": True, "fine_window_size": 5,
+                "coarse": _COARSE_CFG, "fine": _FINE_CFG})
+            self.loftr_fine = ref["LocalFeatureTransformer"](_FINE_CFG)
+            # geo transformer present only so the converted tree is complete
+            from model.geo_transformer.transformer import (
+                LoFTREncoderLayer as GeoLayer,
+            )
+
+            class _Geo(torch.nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.layers = torch.nn.ModuleList(
+                        [GeoLayer(256, 4, "full") for _ in range(4)])
+
+            class _GeoWrap(torch.nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.des_transformer = _Geo()
+
+            self.geo_module = _GeoWrap()
+
+        def coarse_conf(self, im0, im1):
+            """full_model.py:55-88 up to the first conf matrix."""
+            bs = im0.shape[0]
+            feats_c, feats_f = self.backbone(torch.cat([im0, im1], dim=0))
+            feat_c0, feat_c1 = feats_c.split(bs)
+            feat_f0, feat_f1 = feats_f.split(bs)
+            c0 = self.pos_encoding(feat_c0).permute(0, 2, 3, 1)
+            n, h, w, c = c0.shape
+            c0 = c0.reshape(n, -1, c)
+            c1 = self.pos_encoding(feat_c1).permute(0, 2, 3, 1).reshape(
+                n, -1, c)
+            c0, c1 = self.loftr_coarse(c0, c1, None, None)
+            data = {"hw0_i": torch.tensor(im0.shape[2:]),
+                    "hw1_i": torch.tensor(im1.shape[2:]),
+                    "hw0_c": torch.tensor(feat_c0.shape[2:]),
+                    "hw1_c": torch.tensor(feat_c1.shape[2:])}
+            self.coarse_matching(c0, c1, data)
+            return data["conf_matrix"], (feat_f0, feat_f1, c0, c1, data)
+
+    torch.manual_seed(0)
+    return RefGeoFormerCore().eval()
+
+
+def _to_jax_vars(model):
+    from geoformer_tpu.utils.torch_convert import convert_state_dict
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    return convert_state_dict(sd)
+
+
+def test_coarse_pipeline_matches_reference_code(ref_modules):
+    """backbone + PE + coarse transformer + dual-softmax conf vs the
+    reference's own modules with identical (converted) weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoformer_tpu.config import (
+        GeoFormerConfig,
+        GeoModuleConfig,
+        MatchConfig,
+    )
+    from geoformer_tpu.models import GeoFormer
+
+    model_t = _build_ref_model(ref_modules)
+    rng = np.random.default_rng(3)
+    h, w = 96, 128
+    im0 = rng.random((1, 1, h, w)).astype(np.float32)
+    # warped-ish second view: roll + noise keeps overlap high
+    im1 = np.roll(im0, 5, axis=3) * 0.9 + 0.05
+
+    with torch.no_grad():
+        conf_t, _ = model_t.coarse_conf(torch.from_numpy(im0),
+                                        torch.from_numpy(im1))
+
+    variables = _to_jax_vars(model_t)
+    cfg = GeoFormerConfig(
+        match=MatchConfig(max_matches=64),
+        geo=GeoModuleConfig(ransac_iters=32, max_inliers=64))
+    model_j = GeoFormer(cfg)
+    out = model_j.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(im0.transpose(0, 2, 3, 1)),
+        jnp.asarray(im1.transpose(0, 2, 3, 1)),
+        return_conf=True, rngs={"ransac": jax.random.key(0)})
+
+    got = np.asarray(out.dect_conf[0])
+    ref = conf_t[0].numpy()
+    assert got.shape == ref.shape
+    # dual-softmax confidences: compare where either is non-negligible
+    scale = max(ref.max(), 1e-6)
+    np.testing.assert_allclose(got, ref, atol=2e-3 * scale, rtol=2e-2)
+    # the argmax structure must agree exactly on confident rows
+    rows = ref.max(1) > 0.1 * scale
+    if rows.any():
+        np.testing.assert_array_equal(got[rows].argmax(1),
+                                      ref[rows].argmax(1))
+
+
+def test_fine_window_pipeline_matches_reference_code(ref_modules):
+    """Fine preprocess (unfold+gather+concat) + fine transformer vs the
+    reference code, given identical coarse matches and features."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoformer_tpu.models.coarse_matching import CoarseMatches
+    from geoformer_tpu.models.fine import FinePreprocess
+    from geoformer_tpu.models.transformer import LocalFeatureTransformer
+
+    model_t = _build_ref_model(ref_modules)
+    rng = np.random.default_rng(4)
+    h, w = 96, 128
+    im0 = rng.random((1, 1, h, w)).astype(np.float32)
+    im1 = np.roll(im0, 5, axis=3) * 0.9 + 0.05
+    with torch.no_grad():
+        _, (ff0, ff1, c0, c1, data) = model_t.coarse_conf(
+            torch.from_numpy(im0), torch.from_numpy(im1))
+
+        hc, wc = h // 8, w // 8
+        m = 6
+        i_ids = torch.arange(20, 20 + m) * 7 % (hc * wc)
+        j_ids = (i_ids + 1) % (hc * wc)
+        data.update({
+            "hw0_f": torch.tensor([h // 2, w // 2]),
+            "hw1_f": torch.tensor([h // 2, w // 2]),
+            "b_ids": torch.zeros(m, dtype=torch.long),
+            "i_ids": i_ids, "j_ids": j_ids,
+        })
+        w0_t, w1_t = model_t.fine_preprocess(ff0, ff1, c0, c1, data)
+        t0_t, t1_t = model_t.loftr_fine(w0_t, w1_t)
+
+    variables = _to_jax_vars(model_t)
+    matches = CoarseMatches(
+        conf=jnp.zeros((1, hc * wc, hc * wc)),
+        i_ids=jnp.asarray(i_ids.numpy())[None],
+        j_ids=jnp.asarray(j_ids.numpy())[None],
+        valid=jnp.ones((1, m), bool),
+        mconf=jnp.ones((1, m)))
+    pre = FinePreprocess(128, 256, 5, True)
+    w0_j, w1_j = pre.apply(
+        {"params": variables["params"]["fine_preprocess"]},
+        jnp.asarray(ff0.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(ff1.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(c0.numpy()), jnp.asarray(c1.numpy()),
+        matches, 4, wc, wc)
+    np.testing.assert_allclose(np.asarray(w0_j[0]), w0_t.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(w1_j[0]), w1_t.numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+    fine_tf = LocalFeatureTransformer(128, 8, ("self", "cross"), "linear")
+    t0_j, t1_j = fine_tf.apply(
+        {"params": variables["params"]["loftr_fine"]},
+        w0_j.reshape(m, 25, 128), w1_j.reshape(m, 25, 128))
+    np.testing.assert_allclose(np.asarray(t0_j), t0_t.numpy(), atol=1e-3,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(t1_j), t1_t.numpy(), atol=1e-3,
+                               rtol=1e-3)
