@@ -61,6 +61,12 @@ def make_train_step(model: GeoFormer, opt: optax.GradientTransformation,
     cfg = model.config
     H, W = tcfg.image_hw
     wc = W // cfg.coarse_scale
+    # The streaming coarse loss recomputes the dual-softmax confidence from
+    # features; the (rarely used) sinkhorn matcher produces a different
+    # confidence and must train through the dense path.
+    assert cfg.match.match_type == "dual_softmax", (
+        "streaming loss supports dual_softmax only; use geo_loss (dense) "
+        "for sinkhorn training")
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array, lr: jax.Array):
