@@ -77,6 +77,17 @@ def main():
         v, a, b, rngs={"ransac": jax.random.key(0)}))
     t_full = timeit(full, variables, img, img, label="full forward")
 
+    # bench-default config: bf16 + Pallas GAM kernels (box-window cross)
+    cfg_fast = cfg.replace(use_bf16=True,
+                           geo=cfg.geo.__class__(
+                               ransac_iters=256, max_inliers=1024,
+                               use_pallas=True))
+    model_fast = GeoFormer(cfg_fast)
+    full_fast = jax.jit(lambda v, a, b: model_fast.apply(
+        v, a, b, rngs={"ransac": jax.random.key(0)}))
+    timeit(full_fast, variables, img, img,
+           label="full forward (bf16+pallas)")
+
     # backbone (2B images, as in the shared-backbone trick)
     bb = ResNetFPN()
     bvars = bb.init(key, img[:1])
