@@ -358,7 +358,7 @@ def _divisor_tile(n: int, target: int, step: int = 8) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def box_window_attention(q, k, v, centers, grid_hw, radius: int = 2,
-                         mask_fill: float = -1e8, q_tile: int = 240,
+                         mask_fill: float = -1e8, q_tile: int = 120,
                          kv_tile: int = 480):
     """Gather-free GAM cross attention.
 
