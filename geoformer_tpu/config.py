@@ -137,7 +137,8 @@ class OptimConfig:
     canonical_bs: int = 64
     true_lr: float = 0.0  # 0 => derived: canonical_lr * world_bs / canonical_bs
     adamw_decay: float = 0.1
-    warmup_steps: int = 4800
+    warmup_steps: int = 4800       # canonical units (divided by LR scaling)
+    warmup_actual: int = 0         # >0 => warmup in ACTUAL steps, no scaling
     warmup_ratio: float = 0.0
     scheduler: str = "multistep"  # 'multistep' | 'cosine' | 'exponential'
     mslr_milestones: Tuple[int, ...] = (3, 6, 9, 12)  # epochs

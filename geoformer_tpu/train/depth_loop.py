@@ -143,7 +143,9 @@ def run_depth_training(
                        steps_per_epoch=max(1, steps // 15), optim=optim)
     from geoformer_tpu.train.optim import make_schedule
 
-    schedule, _ = make_schedule(tcfg.optim, batch_size, tcfg.steps_per_epoch)
+    schedule, true_lr, warmup_actual = make_schedule(
+        tcfg.optim, batch_size, tcfg.steps_per_epoch, total_steps=steps)
+    print(f"schedule: true_lr={true_lr:.3e} warmup={warmup_actual} steps")
     model = __import__("geoformer_tpu.models",
                        fromlist=["GeoFormer"]).GeoFormer(cfg)
     state, opt = init_state(model, tcfg, jax.random.key(seed))

@@ -72,16 +72,17 @@ def run_training(
     if lr > 0:
         optim = _dc.replace(optim, true_lr=lr)
     if warmup_steps > 0:
-        # interpret as actual steps: undo the canonical-batch scaling divide
-        optim = _dc.replace(
-            optim, warmup_steps=int(warmup_steps * batch_size / 64))
+        optim = _dc.replace(optim, warmup_actual=warmup_steps)
     tcfg = TrainConfig(batch_size=batch_size, image_hw=image_hw, seed=seed,
                        steps_per_epoch=max(1, steps // 15),
                        optim=optim)
     from geoformer_tpu.train.optim import make_schedule
 
-    schedule, true_lr = make_schedule(tcfg.optim, batch_size,
-                                      tcfg.steps_per_epoch)
+    schedule, true_lr, warmup_actual = make_schedule(
+        tcfg.optim, batch_size, tcfg.steps_per_epoch, total_steps=steps)
+    print(f"schedule: true_lr={true_lr:.3e} warmup={warmup_actual} steps "
+          f"scheduler={tcfg.optim.scheduler} "
+          f"steps_per_epoch={tcfg.steps_per_epoch}")
     model = GeoFormer(cfg)
     key = jax.random.key(seed)
     state, opt = init_state(model, tcfg, key)

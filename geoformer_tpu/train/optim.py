@@ -14,10 +14,26 @@ import optax
 from geoformer_tpu.config import OptimConfig
 
 
-def make_schedule(cfg: OptimConfig, batch_size: int, steps_per_epoch: int):
+def make_schedule(cfg: OptimConfig, batch_size: int, steps_per_epoch: int,
+                  total_steps: int = 0):
+    """Returns (schedule_fn, true_lr, warmup_steps_actual).
+
+    The reference derives warmup in canonical units and divides by the LR
+    scaling factor (lightning/train_homo_geoformer.py:80-86) — sane for its
+    epoch-scale 64-batch runs, but at small world batch the division blows the
+    warmup past short runs entirely (a 6k-step batch-8 run gets a 38.4k-step
+    warmup and the peak LR is never reached). When the caller supplies
+    `total_steps` and no explicit `warmup_actual` override, the derived warmup
+    is clamped to total_steps // 12 so the schedule always reaches true_lr.
+    """
     scaling = batch_size / cfg.canonical_bs
     true_lr = cfg.true_lr if cfg.true_lr > 0 else cfg.canonical_lr * scaling
-    warmup = max(1, int(cfg.warmup_steps / max(scaling, 1e-8)))
+    if cfg.warmup_actual > 0:
+        warmup = int(cfg.warmup_actual)
+    else:
+        warmup = max(1, int(cfg.warmup_steps / max(scaling, 1e-8)))
+        if total_steps > 0:
+            warmup = min(warmup, max(100, total_steps // 12))
 
     import math
 
@@ -41,7 +57,7 @@ def make_schedule(cfg: OptimConfig, batch_size: int, steps_per_epoch: int):
             raise ValueError(cfg.scheduler)
         return base * decay
 
-    return schedule, true_lr
+    return schedule, true_lr, warmup
 
 
 def make_optimizer(cfg: OptimConfig, batch_size: int, steps_per_epoch: int):
