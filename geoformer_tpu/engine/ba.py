@@ -212,6 +212,13 @@ def ba_solve_cg(prob: BAProblem, iters: int = 10, damping: float = 1e-3,
 
     with the gauge fix (camera 0 frozen) folded into the operator. Scales
     to hundreds of cameras / large point sets without a [6C, 6C] anywhere.
+
+    CG is block-Jacobi preconditioned: the exact [6, 6] diagonal blocks of
+    S (S_cc = U_c + lam - sum_{n: cam=c} Wn Vinv_{pt(n)} Wn^T) are cheap to
+    assemble with one extra segment sum, and the Schur complement's
+    conditioning is dominated by per-camera observation-count imbalance,
+    which the block diagonal captures — typically halving the CG iterations
+    needed for a given residual.
     """
     C = prob.cams.shape[0]
     P = prob.points.shape[0]
@@ -252,18 +259,31 @@ def ba_solve_cg(prob: BAProblem, iters: int = 10, damping: float = 1e-3,
         rhs = (bc - W_s(jnp.einsum("pij,pj->pi", Vinv, bp,
                                    precision=hp))) * gauge
 
+        # Block-Jacobi preconditioner: exact 6x6 diagonal blocks of S.
+        WVW = jnp.einsum("nij,njk,nlk->nil", Wn, Vinv[p.obs_pt], Wn,
+                         precision=hp)                       # Wn Vinv Wn^T
+        Sdiag = Ul - jax.ops.segment_sum(WVW, p.obs_cam, C)
+        g3 = gauge[:, :, None]                               # [C, 1, 1]
+        Minv = g3 * jnp.linalg.inv(Sdiag) + \
+            (1 - g3) * jnp.eye(6)[None]                      # frozen cam: I
+
+        def apply_Minv(r):
+            return jnp.einsum("cij,cj->ci", Minv, r, precision=hp)
+
         def cg_body(_, st):
-            x, r, d, rs = st
+            x, r, d, rz = st
             Sd = S_apply(d)
-            alpha = rs / jnp.maximum((d * Sd).sum(), 1e-20)
+            alpha = rz / jnp.maximum((d * Sd).sum(), 1e-20)
             x = x + alpha * d
             r = r - alpha * Sd
-            rs_new = (r * r).sum()
-            d = r + (rs_new / jnp.maximum(rs, 1e-20)) * d
-            return x, r, d, rs_new
+            z = apply_Minv(r)
+            rz_new = (r * z).sum()
+            d = z + (rz_new / jnp.maximum(rz, 1e-20)) * d
+            return x, r, d, rz_new
 
         x0 = jnp.zeros_like(rhs)
-        st = (x0, rhs, rhs, (rhs * rhs).sum())
+        z0 = apply_Minv(rhs)
+        st = (x0, rhs, z0, (rhs * z0).sum())
         dx_c, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, st)
         dx_c = dx_c * gauge
 

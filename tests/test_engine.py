@@ -506,3 +506,19 @@ def test_ba_huber_resists_outliers():
     cams_hc, pts_hc, _ = ba_solve_cg(prob2, iters=12, cg_iters=64,
                                      huber_delta=2.0)
     assert inlier_rmse(cams_hc, pts_hc) < e_quad * 0.5
+
+
+def test_ba_cg_preconditioner_converges_with_few_iters():
+    """Block-Jacobi PCG should reach the dense-Schur solution with a CG
+    budget far below the plain-CG 64 used elsewhere in this file."""
+    from geoformer_tpu.engine.ba import ba_solve_cg
+
+    rng = np.random.default_rng(31)
+    prob, cams_gt = _make_ba_problem(rng, pose_noise=0.02, point_noise=0.05)
+    cams_c, pts_c, _ = ba_solve_cg(prob, iters=10, cg_iters=8)
+    err_c = float(jnp.sqrt((reprojection_errors(
+        prob._replace(cams=cams_c, points=pts_c)) ** 2).mean()))
+    assert err_c < 0.05, err_c
+    ate = float(ate_rmse(camera_centers(cams_c),
+                         camera_centers(jnp.asarray(cams_gt))))
+    assert ate < 0.01, ate
