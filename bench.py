@@ -25,12 +25,17 @@ def main():
     # parity with f32 shown in RESULTS.md); --f32 for the reference dtype.
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="pairs per forward (throughput amortizes fixed "
+                         "costs at larger batch; 4 fits comfortably)")
     args = ap.parse_args()
     args.bf16 = not args.f32
     args.pallas = not args.no_pallas
 
     from geoformer_tpu.core.cache import enable_compile_cache
+    from geoformer_tpu.core.platform import respect_platform_env
 
+    respect_platform_env()
     enable_compile_cache()
     from geoformer_tpu.config import (
         GeoFormerConfig,
@@ -39,7 +44,7 @@ def main():
     )
     from geoformer_tpu.models import GeoFormer
 
-    B, H, W = 4, 480, 640
+    B, H, W = args.batch, 480, 640
     cfg = GeoFormerConfig(
         match=MatchConfig(max_matches=1024),
         geo=GeoModuleConfig(ransac_iters=256, max_inliers=1024,

@@ -35,7 +35,9 @@ def main():
     args = ap.parse_args()
 
     from geoformer_tpu.core.cache import enable_compile_cache
+    from geoformer_tpu.core.platform import respect_platform_env
 
+    respect_platform_env()
     enable_compile_cache()
 
     import jax
