@@ -35,7 +35,7 @@ def _mka_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, nhead: int,
     d = hd // nhead
     scale = 1.0 / (d ** 0.5)
 
-    mask = mask_ref[0, :] > 0                               # [S]
+    mask = mask_ref[0, 0, :] > 0                            # [S]
     for h in range(nhead):
         qh = q_ref[0, :, h * d:(h + 1) * d]                 # [TL, D]
         kh = k_ref[0, :, h * d:(h + 1) * d]                 # [S, D]
@@ -64,20 +64,23 @@ def masked_kv_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return _mka_forward(q, k, v, kv_mask, mask_fill, tile)
 
 
-def _mka_forward(q, k, v, kv_mask, mask_fill, tile):
-    if jax.default_backend() not in ("tpu",):
-        return full_attention(q, k, v, kv_mask=kv_mask, mask_fill=mask_fill)
-
+def _mka_forward(q, k, v, kv_mask, mask_fill, tile, interpret=False):
     b, l, h, d = q.shape
     s = k.shape[1]
-    tl = min(tile, l)
-    if l % tl != 0:
+    # Largest divisor tile <= ``tile`` that keeps the sublane dim 8-aligned;
+    # real model shapes (L=4800) are not powers of two, so min(tile, l)
+    # alone would silently disqualify the kernel.
+    tl = _divisor_tile(l, tile)
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    if not on_tpu or tl == 0:
         return full_attention(q, k, v, kv_mask=kv_mask, mask_fill=mask_fill)
 
     qf = q.reshape(b, l, h * d)
     kf = k.reshape(b, s, h * d)
     vf = v.reshape(b, s, h * d)
-    maskf = kv_mask.astype(jnp.float32)
+    # [B, 1, S]: a rank-2 [B, S] operand would need a (1, S) block whose
+    # sublane dim (1) neither divides 8 nor equals B — invalid for B > 1.
+    maskf = kv_mask.astype(jnp.float32).reshape(b, 1, s)
 
     out = pl.pallas_call(
         functools.partial(_mka_kernel, nhead=h, mask_fill=mask_fill),
@@ -89,12 +92,13 @@ def _mka_forward(q, k, v, kv_mask, mask_fill, tile):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, h * d), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda bi, i: (bi, 0),
+            pl.BlockSpec((1, 1, s), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tl, h * d), lambda bi, i: (bi, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, h * d), jnp.float32),
+        interpret=interpret,
     )(qf, kf, vf, maskf)
     return out.reshape(b, l, h, d)
 
@@ -121,7 +125,7 @@ def _mka_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
     hd = q_ref.shape[2]
     d = hd // nhead
     scale = 1.0 / (d ** 0.5)
-    mask = mask_ref[0, :] > 0                                # [S]
+    mask = mask_ref[0, 0, :] > 0                             # [S]
     for h in range(nhead):
         sl = slice(h * d, (h + 1) * d)
         qh = q_ref[0, :, sl]                                 # [TL, D]
@@ -154,12 +158,12 @@ def _mka_bwd_pallas(q, k, v, kv_mask, g, mask_fill, tile,
                     interpret: bool = False):
     b, l, h, d = q.shape
     s = k.shape[1]
-    tl = min(tile, l)
+    tl = _divisor_tile(l, tile)
     qf = q.reshape(b, l, h * d)
     kf = k.reshape(b, s, h * d)
     vf = v.reshape(b, s, h * d)
     gf = g.reshape(b, l, h * d).astype(jnp.float32)
-    maskf = kv_mask.astype(jnp.float32)
+    maskf = kv_mask.astype(jnp.float32).reshape(b, 1, s)
 
     kv_spec = pl.BlockSpec((1, s, h * d), lambda bi, i: (bi, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -170,7 +174,7 @@ def _mka_bwd_pallas(q, k, v, kv_mask, g, mask_fill, tile,
         grid=(b, l // tl),
         in_specs=[
             q_spec, kv_spec, kv_spec,
-            pl.BlockSpec((1, s), lambda bi, i: (bi, 0),
+            pl.BlockSpec((1, 1, s), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             q_spec,
         ],
@@ -208,8 +212,7 @@ def _mka_bwd_jnp(q, k, v, kv_mask, g, mask_fill):
 def _mka_bwd(mask_fill, tile, res, g):
     q, k, v, kv_mask = res
     l = q.shape[1]
-    tl = min(tile, l)
-    if jax.default_backend() == "tpu" and l % tl == 0:
+    if jax.default_backend() == "tpu" and _divisor_tile(l, tile) != 0:
         dq, dk, dv = _mka_bwd_pallas(q, k, v, kv_mask, g, mask_fill, tile)
     else:
         dq, dk, dv = _mka_bwd_jnp(q, k, v, kv_mask, g, mask_fill)

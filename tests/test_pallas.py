@@ -26,35 +26,22 @@ def test_masked_kv_attention_fallback_matches_reference():
 
 
 def test_mka_kernel_interpret_mode():
-    """Run the actual Pallas kernel in interpreter mode on CPU."""
+    """Run the forward Pallas kernel in interpreter mode on CPU via the real
+    dispatch wiring (b > 1 covers the [B,1,S] mask block spec; l = 24 with
+    tile=16 covers the divisor-tile selection: tl must land on 8)."""
+    from geoformer_tpu.ops.pallas_attention import _mka_forward
+
     rng = np.random.default_rng(1)
-    b, l, s, h, d = 1, 16, 8, 2, 4
-    q = rng.normal(size=(b, l, h * d)).astype(np.float32)
-    k = rng.normal(size=(b, s, h * d)).astype(np.float32)
-    v = rng.normal(size=(b, s, h * d)).astype(np.float32)
-    mask = (rng.random((b, s)) > 0.3).astype(np.float32)
+    b, l, s, h, d = 2, 24, 8, 2, 4
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, s)) > 0.3)
 
-    tl = 8
-    out = pl.pallas_call(
-        functools.partial(_mka_kernel, nhead=h, mask_fill=-1e8),
-        grid=(b, l // tl),
-        in_specs=[
-            pl.BlockSpec((1, tl, h * d), lambda bi, i: (bi, i, 0)),
-            pl.BlockSpec((1, s, h * d), lambda bi, i: (bi, 0, 0)),
-            pl.BlockSpec((1, s, h * d), lambda bi, i: (bi, 0, 0)),
-            pl.BlockSpec((1, s), lambda bi, i: (bi, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, tl, h * d), lambda bi, i: (bi, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, l, h * d), jnp.float32),
-        interpret=True,
-    )(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask))
-
-    ref = full_attention(
-        jnp.asarray(q.reshape(b, l, h, d)), jnp.asarray(k.reshape(b, s, h, d)),
-        jnp.asarray(v.reshape(b, s, h, d)),
-        kv_mask=jnp.asarray(mask) > 0, mask_fill=-1e8)
-    np.testing.assert_allclose(np.asarray(out).reshape(b, l, h, d),
-                               np.asarray(ref), rtol=1e-4, atol=1e-5)
+    out = _mka_forward(q, k, v, mask, -1e8, 16, interpret=True)
+    ref = full_attention(q, k, v, kv_mask=mask, mask_fill=-1e8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
 
 
 def test_encoder_layer_pallas_flag_cpu_fallback():
