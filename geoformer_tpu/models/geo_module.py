@@ -189,7 +189,8 @@ class GeoModule(nn.Module):
         for li, name in enumerate(cfg.layer_names):
             layer = EncoderLayer(self.d_model, cfg.nhead, attention="full",
                                  mlp_act="tanh", dtype=self.dtype,
-                                 use_pallas=cfg.use_pallas,
+                                 use_pallas=cfg.use_pallas
+                                 and cfg.use_pallas_self,
                                  name=f"layer_{li}")
             if name == "self":
                 kv0 = take_tok(feat0, idx0)                 # [B, cap, C]

@@ -39,6 +39,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--gam-only", action="store_true",
+                    help="only the GAM fwd+bwd rows (kernel isolation)")
     args = ap.parse_args()
 
     from geoformer_tpu.core.cache import enable_compile_cache
@@ -86,8 +88,9 @@ def main():
         timeit(lambda s, b: step(s, b, jax.random.key(2), lr)[1]["loss"],
                state, batch, label=label)
 
-    full_step_row(False, False, "train step (f32)")
-    full_step_row(True, True, "train step (bf16+pallas)")
+    if not args.gam_only:
+        full_step_row(False, False, "train step (f32)")
+        full_step_row(True, True, "train step (bf16+pallas)")
 
     img2b = jnp.asarray(rng.random((2 * B, H, W, 1), np.float32))
 
@@ -102,33 +105,44 @@ def main():
         g = jax.jit(jax.grad(pseudo_loss))
         return variables, g
 
-    # backbone fwd+bwd on the shared-backbone 2B stack
-    for dt_, lbl in ((jnp.float32, "backbone fwd+bwd (2B, f32)"),
-                     (jnp.bfloat16, "backbone fwd+bwd (2B, bf16)")):
-        bb = ResNetFPN(dtype=dt_)
-        v, g = stage_grad_row(bb, (key, img2b[:1]),
-                              lambda v, x: bb.apply(v, x), lbl)
-        timeit(g, v, img2b, label=lbl)
-
-    # coarse transformer fwd+bwd
     f0 = jnp.asarray(rng.random((B, L, 256), np.float32))
-    for dt_, lbl in ((jnp.float32, "coarse transformer fwd+bwd (f32)"),
-                     (jnp.bfloat16, "coarse transformer fwd+bwd (bf16)")):
-        tf = LocalFeatureTransformer(256, 8, ("self", "cross") * 4, "linear",
-                                     dtype=dt_)
-        v, g = stage_grad_row(tf, (key, f0[:1], f0[:1]),
-                              lambda v, a, b: tf.apply(v, a, b), lbl)
-        timeit(g, v, f0, f0, label=lbl)
+    if not args.gam_only:
+        # backbone fwd+bwd on the shared-backbone 2B stack
+        for dt_, lbl in ((jnp.float32, "backbone fwd+bwd (2B, f32)"),
+                         (jnp.bfloat16, "backbone fwd+bwd (2B, bf16)")):
+            bb = ResNetFPN(dtype=dt_)
+            v, g = stage_grad_row(bb, (key, img2b[:1]),
+                                  lambda v, x: bb.apply(v, x), lbl)
+            timeit(g, v, img2b, label=lbl)
+
+        # coarse transformer fwd+bwd
+        for dt_, lbl in ((jnp.float32, "coarse transformer fwd+bwd (f32)"),
+                         (jnp.bfloat16, "coarse transformer fwd+bwd (bf16)")):
+            tf = LocalFeatureTransformer(256, 8, ("self", "cross") * 4,
+                                         "linear", dtype=dt_)
+            v, g = stage_grad_row(tf, (key, f0[:1], f0[:1]),
+                                  lambda v, a, b: tf.apply(v, a, b), lbl)
+            timeit(g, v, f0, f0, label=lbl)
 
     # GAM fwd+bwd (RANSAC inside is stop-gradient; grads flow through attn)
     cnn = jnp.asarray(rng.random((B, hc, wc, 256), np.float32))
     m = jax.jit(lambda a, b: coarse_match(a, b, 0.2, 0.1, 512,
                                           force_one=True))(f0, f0)
-    for use_pallas, dt_, lbl in (
-            (False, jnp.float32, "GAM fwd+bwd (f32)"),
-            (True, jnp.bfloat16, "GAM fwd+bwd (bf16+pallas)")):
+    if args.gam_only:
+        gam_rows = [
+            (True, True, jnp.bfloat16, "GAM fwd+bwd (bf16 box+mka)"),
+            (True, False, jnp.bfloat16, "GAM fwd+bwd (bf16 box-only)"),
+            (False, False, jnp.bfloat16, "GAM fwd+bwd (bf16 no-pallas)"),
+        ]
+    else:
+        gam_rows = [
+            (False, True, jnp.float32, "GAM fwd+bwd (f32)"),
+            (True, True, jnp.bfloat16, "GAM fwd+bwd (bf16+pallas)"),
+        ]
+    for use_pallas, use_self, dt_, lbl in gam_rows:
         geo = GeoModule(GeoModuleConfig(ransac_iters=256, max_inliers=512,
-                                        use_pallas=use_pallas), 256,
+                                        use_pallas=use_pallas,
+                                        use_pallas_self=use_self), 256,
                         dtype=dt_)
         variables = geo.init({"params": key, "ransac": key}, cnn[:1],
                              cnn[:1], jax.tree.map(lambda x: x[:1], m), 8,
@@ -142,16 +156,17 @@ def main():
         g = jax.jit(jax.grad(pseudo_loss))
         timeit(g, variables, cnn, cnn, m, label=lbl)
 
-    # fine stage fwd+bwd: transformer over [B*M, WW, C] windows
-    M, WW, Cf = 512, 25, 128
-    wtok = jnp.asarray(rng.random((B * M, WW, Cf), np.float32))
-    for dt_, lbl in ((jnp.float32, "fine transformer fwd+bwd (f32)"),
-                     (jnp.bfloat16, "fine transformer fwd+bwd (bf16)")):
-        ftf = LocalFeatureTransformer(Cf, 8, ("self", "cross"), "linear",
-                                      dtype=dt_)
-        v, g = stage_grad_row(ftf, (key, wtok[:1], wtok[:1]),
-                              lambda v, a, b: ftf.apply(v, a, b), lbl)
-        timeit(g, v, wtok, wtok, label=lbl)
+    if not args.gam_only:
+        # fine stage fwd+bwd: transformer over [B*M, WW, C] windows
+        M, WW, Cf = 512, 25, 128
+        wtok = jnp.asarray(rng.random((B * M, WW, Cf), np.float32))
+        for dt_, lbl in ((jnp.float32, "fine transformer fwd+bwd (f32)"),
+                         (jnp.bfloat16, "fine transformer fwd+bwd (bf16)")):
+            ftf = LocalFeatureTransformer(Cf, 8, ("self", "cross"), "linear",
+                                          dtype=dt_)
+            v, g = stage_grad_row(ftf, (key, wtok[:1], wtok[:1]),
+                                  lambda v, a, b: ftf.apply(v, a, b), lbl)
+            timeit(g, v, wtok, wtok, label=lbl)
 
     print("(stages timed in isolation; full step rows use the real loss)")
 
