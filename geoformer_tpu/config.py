@@ -62,6 +62,11 @@ class MatchConfig:
     # mutual-NN row above threshold).
     max_matches: int = -1
     force_one_match: bool = False  # training-time: guarantee >=1 match per pair
+    # Streamed match extraction: never materialize the [B, L0, L1] conf
+    # matrix (ops/fused_loss.streaming_match_extract). Automatically falls
+    # back to the dense path when the dense conf is explicitly requested
+    # (return_conf=True) or for the sinkhorn matcher.
+    streaming_extract: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,6 +61,15 @@ def _extract_ids(conf, thr, capacity, force_one, mask0, mask1):
     j_ids = conf.argmax(axis=2)                            # [B, L0]
     col_best = conf.max(axis=1)                            # [B, L1]
     mutual = row_best == jnp.take_along_axis(col_best, j_ids, axis=1)
+    return _finalize_ids(row_best, j_ids, mutual, conf[:, 0, 0], l1, thr,
+                         capacity, force_one, mask0, mask1)
+
+
+def _finalize_ids(row_best, j_ids, mutual, conf00, l1, thr, capacity,
+                  force_one, mask0, mask1):
+    """Shared tail of match extraction: thresholding, padding-mask gating,
+    the force-one hack and fixed-capacity top-k compaction."""
+    b, l0 = row_best.shape
     valid = (row_best > thr) & mutual
     # Exclude padded cells outright. The reference only relies on their
     # near-zero confidence (they sit on the -INF plateau of the dual softmax),
@@ -71,17 +80,15 @@ def _extract_ids(conf, thr, capacity, force_one, mask0, mask1):
     if mask1 is not None:
         valid &= jnp.take_along_axis(mask1.reshape(b, l1), j_ids, axis=1) > 0
 
-    if force_one:
-        none = ~valid.any(axis=1)                          # [B]
-        first = jnp.arange(l0) == 0
-        valid = valid | (none[:, None] & first[None, :])
-        j_ids = jnp.where((none[:, None] & first[None, :]), 0, j_ids)
-
     mconf = jnp.where(valid, row_best, 0.0)
     if force_one:
+        none = ~valid.any(axis=1)                          # [B]
+        forced = none[:, None] & (jnp.arange(l0) == 0)[None, :]
+        valid = valid | forced
+        j_ids = jnp.where(forced, 0, j_ids)
         # forced (0,0) slot keeps its true (possibly sub-threshold) confidence
-        mconf = jnp.where(valid, jnp.take_along_axis(
-            conf, j_ids[..., None], axis=2)[..., 0], 0.0)
+        mconf = jnp.where(valid,
+                          jnp.where(forced, conf00[:, None], row_best), 0.0)
 
     if capacity <= 0 or capacity >= l0:
         i_ids = jnp.broadcast_to(jnp.arange(l0, dtype=jnp.int32), (b, l0))
@@ -104,8 +111,32 @@ def coarse_match(
     mask0: Optional[jax.Array] = None,
     mask1: Optional[jax.Array] = None,
     force_one: bool = False,
+    streaming: bool = False,
 ) -> CoarseMatches:
-    """Full coarse matching: dual-softmax confidence + fixed-capacity extraction."""
+    """Full coarse matching: dual-softmax confidence + fixed-capacity
+    extraction.
+
+    streaming=True computes the extraction statistics in streamed row
+    chunks (ops/fused_loss.streaming_match_extract) and never materializes
+    the [B, L0, L1] confidence matrix; the returned ``conf`` field is a
+    [B, 0, 0] placeholder (callers that need the dense matrix — the dense
+    loss path, sinkhorn — must use streaming=False). Mutuality is checked
+    on argmax indices instead of max values: mathematically identical,
+    and robust to the different floating-point summation orders."""
+    if streaming:
+        from geoformer_tpu.ops.fused_loss import streaming_match_extract
+
+        b, l0, _ = feat_c0.shape
+        row_best, j_ids, col_arg, conf00 = jax.lax.stop_gradient(
+            streaming_match_extract(feat_c0, feat_c1, temperature, mask0,
+                                    mask1))
+        mutual = jnp.take_along_axis(col_arg, j_ids, axis=1) == \
+            jnp.arange(l0, dtype=jnp.int32)[None, :]
+        ids = _finalize_ids(row_best, j_ids, mutual, conf00,
+                            feat_c1.shape[1], thr, capacity, force_one,
+                            mask0, mask1)
+        empty = jnp.zeros((b, 0, 0), feat_c0.dtype)
+        return CoarseMatches(empty, *ids)
     conf = dual_softmax(feat_c0, feat_c1, temperature, mask0, mask1)
     return extract_matches(conf, thr, capacity, force_one, mask0, mask1)
 

@@ -50,7 +50,7 @@ def _build_geo_state(matches: CoarseMatches, key, hw0_c, hw1_c, scale: int,
                      cfg: GeoModuleConfig) -> GeoState:
     """RANSAC on first-pass matches + inlier membership maps
     (reference: geo_module.py:44-96)."""
-    b = matches.conf.shape[0]
+    b = matches.i_ids.shape[0]
     h0, w0 = hw0_c
     h1, w1 = hw1_c
     l0, l1 = h0 * w0, h1 * w1

@@ -98,6 +98,14 @@ class GeoFormer(nn.Module):
         f0, f1 = coarse_tf(f0, f1, m0, m1)
 
         force_one = cfg.match.force_one_match or train
+        if return_conf is None:
+            # Training defaults to the streaming loss over features; the
+            # dense [B, L, L] conf matrices are only ever materialized when
+            # explicitly requested (dense loss path / tests / debugging).
+            return_conf = False
+        # Streamed extraction never builds the [B, L, L] conf matrix at all —
+        # usable whenever the dense matrix isn't requested downstream.
+        streaming = cfg.match.streaming_extract and not return_conf
 
         if cfg.match.match_type == "sinkhorn":
             # optional OT matcher with learnable dustbin score
@@ -124,7 +132,8 @@ class GeoFormer(nn.Module):
         else:
             matcher = lambda a, bfeat: coarse_match(  # noqa: E731
                 a, bfeat, cfg.match.thr, cfg.match.dsmax_temperature,
-                cfg.match.max_matches, m0, m1, force_one=force_one)
+                cfg.match.max_matches, m0, m1, force_one=force_one,
+                streaming=streaming)
 
         # 3. First coarse matching pass.
         matches1 = matcher(f0, f1)
@@ -159,11 +168,6 @@ class GeoFormer(nn.Module):
                              cfg.fine_scale, cfg.fine_match.window_size,
                              cfg.fine_match.thr)
 
-        if return_conf is None:
-            # Training defaults to the streaming loss over features; the
-            # dense [B, L, L] conf matrices are only ever materialized when
-            # explicitly requested (tests / debugging).
-            return_conf = False
         empty = jnp.zeros((b, 0, 0), f0.dtype)
         dect_conf = matches1.conf if return_conf else empty
         conf = matches2.conf if return_conf else empty

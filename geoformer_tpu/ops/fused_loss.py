@@ -109,6 +109,72 @@ def sim_lse(feat0: jax.Array, feat1: jax.Array, temperature: float,
     return r, c
 
 
+def streaming_match_extract(feat0: jax.Array, feat1: jax.Array,
+                            temperature: float,
+                            mask0: Optional[jax.Array] = None,
+                            mask1: Optional[jax.Array] = None,
+                            chunk: int = 600):
+    """Row/col nearest-neighbour statistics of the dual-softmax confidence,
+    streamed — the extraction-side complement of streaming_coarse_loss.
+
+    With conf_ij = exp(2 sim_ij - r_i - c_j) (module docstring identity),
+    the row argmax of conf is argmax_j (2 sim_ij - c_j) and the col argmax
+    is argmax_i (2 sim_ij - r_i): match extraction needs one streamed pass
+    for the LSE vectors and one for the arg/max stats, never a [B, L, S]
+    tensor (the reference materializes the full conf matrix for this,
+    loftr/utils/coarse_matching.py:110-190).
+
+    Returns:
+        row_best: [B, L] f32 best confidence per image0 cell.
+        j_ids:    [B, L] int32 argmax column per row.
+        col_arg:  [B, S] int32 argmax row per column.
+        conf00:   [B] f32 confidence at cell pair (0, 0) (force-one support).
+    """
+    b, l, _ = feat0.shape
+    s = feat1.shape[1]
+    chunk = max(1, min(chunk, l))
+    r, c = sim_lse(feat0, feat1, temperature, mask0, mask1, chunk)
+    f0, f1, row_valid, col_valid, pad = _prep(
+        feat0, feat1, temperature, mask0, mask1, chunk)
+    n = f0.shape[1] // chunk
+    f0_ch = f0.reshape(b, n, chunk, -1).transpose(1, 0, 2, 3)
+    rv_ch = row_valid.reshape(b, n, chunk).transpose(1, 0, 2)
+    r_ch = jnp.pad(r, ((0, 0), (0, pad))).reshape(b, n, chunk) \
+        .transpose(1, 0, 2)
+    starts = jnp.arange(n, dtype=jnp.int32) * chunk
+
+    def body(carry, xs):
+        col_m, col_a = carry                     # running col max/arg [B, S]
+        f0c, rv, r_c, start = xs
+        t = _tile(f0c, f1, rv, col_valid)        # [B, chunk, S] sim
+        z_row = 2.0 * t - c[:, None, :]
+        m = z_row.max(axis=2)
+        a = z_row.argmax(axis=2).astype(jnp.int32)
+        row_best = jnp.exp(m - r_c)
+        z_col = 2.0 * t - r_c[:, :, None]
+        cm = z_col.max(axis=1)                   # [B, S]
+        ca = (start + z_col.argmax(axis=1)).astype(jnp.int32)
+        better = cm > col_m
+        return (jnp.where(better, cm, col_m),
+                jnp.where(better, ca, col_a)), (row_best, a)
+
+    init = (jnp.full((b, s), -jnp.inf, jnp.float32),
+            jnp.zeros((b, s), jnp.int32))
+    (_, col_arg), (rb_ch, a_ch) = lax.scan(
+        body, init, (f0_ch, rv_ch, r_ch, starts))
+    row_best = rb_ch.transpose(1, 0, 2).reshape(b, -1)[:, :l]
+    j_ids = a_ch.transpose(1, 0, 2).reshape(b, -1)[:, :l]
+
+    sim00 = jnp.einsum("bc,bc->b", f0[:, 0], f1[:, 0])
+    if mask0 is not None or mask1 is not None:
+        ok00 = row_valid[:, 0]
+        if col_valid is not None:
+            ok00 = ok00 & col_valid[:, 0]
+        sim00 = jnp.where(ok00, sim00, _NEG_INF)
+    conf00 = jnp.exp(2.0 * sim00 - r[:, 0] - c[:, 0])
+    return row_best, j_ids, col_arg, conf00
+
+
 def _focal_pos(p, alpha, gamma):
     return -alpha * (1 - p) ** gamma * jnp.log(p)
 

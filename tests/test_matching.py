@@ -94,3 +94,60 @@ def test_fine_matching_decode():
     np.testing.assert_allclose(np.asarray(out.mkpts0[0, 0]), [8 + 0, 8 - 2])
     np.testing.assert_allclose(np.asarray(out.mkpts1[0, 0]), [8 - 2, 16 + 2])
     assert np.isclose(float(out.mconf[0, 0]), 0.9)
+
+
+def test_streaming_extract_matches_dense():
+    """streaming=True must reproduce the dense extraction exactly (indices,
+    validity) and the confidences to float tolerance, across masks,
+    force_one and capacity settings — without building [B, L0, L1]."""
+    from geoformer_tpu.models.coarse_matching import coarse_match
+
+    rng = np.random.default_rng(3)
+    b, l0, l1, c = 2, 40, 32, 16
+    f0 = jnp.asarray(rng.normal(size=(b, l0, c)).astype(np.float32))
+    f1 = jnp.asarray(rng.normal(size=(b, l1, c)).astype(np.float32))
+    mask0 = jnp.asarray(rng.random((b, l0)) > 0.2)
+    mask1 = jnp.asarray(rng.random((b, l1)) > 0.2)
+
+    for kwargs in (
+            dict(),
+            dict(mask0=mask0, mask1=mask1),
+            dict(force_one=True, thr=0.99),      # forces the (0,0) slot
+            dict(capacity=8),
+            dict(mask0=mask0, mask1=mask1, capacity=8, force_one=True),
+    ):
+        kw = dict(thr=0.05, temperature=0.1, capacity=-1)
+        kw.update(kwargs)
+        dense = coarse_match(f0, f1, **kw, streaming=False)
+        stream = coarse_match(f0, f1, **kw, streaming=True)
+        assert stream.conf.shape == (b, 0, 0)
+        np.testing.assert_array_equal(np.asarray(dense.i_ids),
+                                      np.asarray(stream.i_ids))
+        np.testing.assert_array_equal(np.asarray(dense.valid),
+                                      np.asarray(stream.valid))
+        # j_ids only meaningful on valid slots
+        v = np.asarray(dense.valid)
+        np.testing.assert_array_equal(np.asarray(dense.j_ids)[v],
+                                      np.asarray(stream.j_ids)[v])
+        np.testing.assert_allclose(np.asarray(dense.mconf),
+                                   np.asarray(stream.mconf),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_extract_chunked():
+    """Chunk boundary correctness: l0 not divisible by chunk."""
+    from geoformer_tpu.ops.fused_loss import streaming_match_extract
+    from geoformer_tpu.ops.matching import dual_softmax
+
+    rng = np.random.default_rng(5)
+    b, l0, l1, c = 1, 23, 17, 8
+    f0 = jnp.asarray(rng.normal(size=(b, l0, c)).astype(np.float32))
+    f1 = jnp.asarray(rng.normal(size=(b, l1, c)).astype(np.float32))
+    conf = np.asarray(dual_softmax(f0, f1, 0.1))
+    row_best, j_ids, col_arg, conf00 = streaming_match_extract(
+        f0, f1, 0.1, chunk=7)
+    np.testing.assert_allclose(np.asarray(row_best), conf.max(2)[0][None],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(j_ids)[0], conf[0].argmax(1))
+    np.testing.assert_array_equal(np.asarray(col_arg)[0], conf[0].argmax(0))
+    np.testing.assert_allclose(float(conf00[0]), conf[0, 0, 0], rtol=1e-4)
