@@ -4,7 +4,11 @@ Functional re-design of the reference backbone
 (reference: model/loftr_src/loftr/backbone/resnet_fpn.py:43-118): a 1-channel
 7x7/2 stem, three 2-block residual stages at 1/2, 1/4, 1/8, and a top-down FPN
 returning coarse (1/8, block_dims[-1] ch) and fine (1/2, block_dims[0] ch)
-feature maps. BatchNorm keeps f32 statistics; convs run in the module dtype.
+feature maps. BatchNorm params/running stats stay f32 (flax param_dtype)
+and flax computes batch statistics in promoted f32 internally, but the
+normalized OUTPUT follows the module dtype: with dtype=f32 this is
+bit-identical to before, while bf16 halves the inter-layer activation
+traffic (the backbone is HBM-bound, not MXU-bound).
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ class BasicBlock(nn.Module):
             use_bias=False, dtype=self.dtype, name=name)
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+            dtype=self.dtype, name=name)
 
         y = nn.relu(bn("bn1")(conv(self.planes, 3, self.stride, "conv1")(x)))
         y = bn("bn2")(conv(self.planes, 3, 1, "conv2")(y))
@@ -50,7 +54,7 @@ class ResNetFPN(nn.Module):
         """x: [B, H, W, 1] grayscale in [0, 1]. Returns (coarse_1_8, fine_1_2)."""
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+            dtype=self.dtype, name=name)
         d1, d2, d3 = self.block_dims
 
         x0 = nn.relu(bn("bn1")(nn.Conv(
@@ -105,7 +109,7 @@ class ResNetFPN_16_4(nn.Module):
                  ) -> Tuple[jax.Array, jax.Array]:
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+            dtype=self.dtype, name=name)
         d1, d2, d3, d4 = self.block_dims
 
         x0 = nn.relu(bn("bn1")(nn.Conv(

@@ -168,6 +168,26 @@ def main():
                                   lambda v, a, b: ftf.apply(v, a, b), lbl)
             timeit(g, v, wtok, wtok, label=lbl)
 
+        # layout experiment: same token count padded to a 32-long window
+        # (8-aligned sublane) with a validity mask — measures what the
+        # 25-token layout costs (TODO #3)
+        wtok32 = jnp.asarray(rng.random((B * M, 32, Cf), np.float32))
+        wmask = jnp.asarray(
+            (np.arange(32) < WW)[None].repeat(B * M, 0).astype(np.float32))
+        ftf = LocalFeatureTransformer(Cf, 8, ("self", "cross"), "linear",
+                                      dtype=jnp.bfloat16)
+        variables = ftf.init(key, wtok32[:1], wtok32[:1], wmask[:1],
+                             wmask[:1])
+
+        def pad_loss(v, a, b_, m_):
+            o = ftf.apply(v, a, b_, m_, m_)
+            return sum((jnp.asarray(x, jnp.float32) ** 2).sum()
+                       for x in jax.tree.leaves(o))
+
+        g32 = jax.jit(jax.grad(pad_loss))
+        timeit(g32, variables, wtok32, wtok32, wmask,
+               label="fine transformer fwd+bwd (bf16, WW=32 masked)")
+
     print("(stages timed in isolation; full step rows use the real loss)")
 
 
