@@ -27,7 +27,9 @@ def _model_and_params(args):
     cfg = GeoFormerConfig(
         match=MatchConfig(thr=args.match_thr, max_matches=args.max_matches),
         geo=GeoModuleConfig(ransac_iters=args.gam_ransac_iters,
-                            max_inliers=args.gam_max_inliers),
+                            max_inliers=args.gam_max_inliers,
+                            use_pallas=getattr(args, "pallas", False)),
+        use_bf16=getattr(args, "bf16", False),
     )
     model = GeoFormer(cfg)
     if args.ckpt:
@@ -87,7 +89,9 @@ def cmd_train_depth(args):
     model_cfg = GeoFormerConfig(
         match=MatchConfig(max_matches=args.max_matches, force_one_match=True),
         geo=GeoModuleConfig(ransac_iters=args.gam_ransac_iters,
-                            max_inliers=args.gam_max_inliers),
+                            max_inliers=args.gam_max_inliers,
+                            use_pallas=getattr(args, "pallas", False)),
+        use_bf16=getattr(args, "bf16", False),
     )
     run_depth_training(
         npz_dir=args.npz_dir,
@@ -262,6 +266,10 @@ def main():
         sp.add_argument("--gam-ransac-iters", type=int, default=256)
         sp.add_argument("--gam-max-inliers", type=int, default=1024)
         sp.add_argument("--imsize", type=int, default=480)
+        sp.add_argument("--bf16", action="store_true",
+                        help="bf16 compute path (params stay f32)")
+        sp.add_argument("--pallas", action="store_true",
+                        help="Pallas GAM attention kernels (TPU)")
 
     t = sub.add_parser("train")
     t.add_argument("--data", default=None, help="image dir (else procedural)")
@@ -309,6 +317,10 @@ def main():
     td.add_argument("--resume", action="store_true")
     td.add_argument("--min-overlap", type=float, default=0.4)
     td.add_argument("--depth-pad", type=int, default=2000)
+    td.add_argument("--bf16", action="store_true",
+                    help="bf16 compute path (params stay f32)")
+    td.add_argument("--pallas", action="store_true",
+                    help="Pallas GAM attention kernels (TPU)")
     td.set_defaults(fn=cmd_train_depth)
 
     e = sub.add_parser("eval")
