@@ -58,6 +58,60 @@ def linear_attention(
     return out
 
 
+def linear_attention_flat(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    nhead: int,
+    q_mask: Optional[jax.Array] = None,
+    kv_mask: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """linear_attention computed entirely on [B, L, C] layouts.
+
+    Math-identical to linear_attention (same elu+1 feature map, same /v_length
+    guard) but head separation is enforced by a block-diagonal mask on one
+    small [C, C] aggregate instead of reshaping activations to [B, L, H, D] —
+    on TPU the head_dim-in-lane layouts (D = 16-32 << 128) waste most of each
+    vector lane and force relayouts around every einsum; keeping C = H*D in
+    the lane dimension leaves the big tensors untouched. The extra FLOPs of
+    the masked full [C, C] products are ~H x on a term that is O(S*C^2),
+    negligible next to the projections.
+
+    Args:
+        q: [B, L, C]; k, v: [B, S, C] (pre-head-split projections).
+    Returns:
+        [B, L, C].
+    """
+    b, l, c = q.shape
+    s = k.shape[1]
+    d = c // nhead
+    Q = _elu_feature_map(q)
+    K = _elu_feature_map(k)
+    if q_mask is not None:
+        Q = Q * q_mask[:, :, None].astype(Q.dtype)
+    if kv_mask is not None:
+        kvm = kv_mask[:, :, None].astype(K.dtype)
+        K = K * kvm
+        v = v * kvm
+
+    v_scaled = v / s
+    # [B, C, C] aggregate; only the H diagonal [D, D] blocks are kept, which
+    # makes Q @ KV act independently per head, exactly as the split layout.
+    kv = jnp.einsum("bsc,bse->bce", K, v_scaled)
+    blk = jnp.arange(c) // d
+    kv = kv * (blk[:, None] == blk[None, :]).astype(kv.dtype)
+    out = jnp.einsum("blc,bce->ble", Q, kv)                 # [B, L, C]
+
+    # Per-head normalizer: Z_blh = 1 / (sum_d Q[b,l,(h,d)] Ksum[b,(h,d)] + eps)
+    ksum = K.sum(axis=1)                                    # [B, C]
+    z = 1.0 / (jnp.einsum("blc,bhc->blh", Q,
+                          ksum[:, None, :] *
+                          jax.nn.one_hot(blk, nhead,
+                                         dtype=K.dtype).T[None]) + eps)
+    return out * jnp.repeat(z, d, axis=-1) * s
+
+
 def full_attention(
     q: jax.Array,
     k: jax.Array,
