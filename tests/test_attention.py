@@ -154,3 +154,29 @@ def test_mutual_nearest_mask():
     m = mutual_nearest_mask(conf, thr=0.2)
     # (0,0) is row-0 max and column-0 max; (1,0) is row max but not column max
     assert bool(m[0, 0, 0]) and not bool(m[0, 1, 0]) and not bool(m[0, 0, 1])
+
+
+def test_linear_attention_flat_matches_split():
+    """linear_attention_flat on [B,L,C] must equal linear_attention on the
+    head-split layout (same elu+1 map, same /v_length guard), with and
+    without masks."""
+    from geoformer_tpu.ops.attention import (
+        linear_attention,
+        linear_attention_flat,
+    )
+
+    rng = np.random.default_rng(21)
+    b, l, s, h, d = 2, 12, 10, 4, 8
+    c = h * d
+    qf = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    kf = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    qm = jnp.asarray(rng.random((b, l)) > 0.3)
+    km = jnp.asarray(rng.random((b, s)) > 0.3)
+    for masks in [(None, None), (qm, km)]:
+        ref = linear_attention(qf.reshape(b, l, h, d), kf.reshape(b, s, h, d),
+                               vf.reshape(b, s, h, d), *masks)
+        got = linear_attention_flat(qf, kf, vf, h, *masks)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(ref).reshape(b, l, c),
+                                   rtol=2e-5, atol=2e-6)
