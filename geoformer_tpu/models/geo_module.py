@@ -172,8 +172,10 @@ class GeoModule(nn.Module):
         itemsize = jnp.dtype(self.dtype).itemsize
         s_max = max(h0 * w0, h1 * w1)
         vmem_est = 2 * s_max * c * itemsize + 2 * 120 * s_max * 4
+        # 12 MB threshold: the estimate undercounts (exp/attn/output tiles);
+        # the f32 480x640 case estimates 14.4 MB but actually needs 19.1 MB.
         use_box = (cfg.use_pallas and jax.default_backend() == "tpu"
-                   and vmem_est <= 14 * 2 ** 20)
+                   and vmem_est <= 12 * 2 ** 20)
         r = cfg.window_size // 2
         if use_box:
             def centers_of(Hm, hw_src, hw_dst):
