@@ -78,6 +78,13 @@ def linear_attention_flat(
     the masked full [C, C] products are ~H x on a term that is O(S*C^2),
     negligible next to the projections.
 
+    MEASURED NEGATIVE RESULT (v5e, scripts/profile_linear_attn.py,
+    2026-08-17): the flat variant is SLOWER than the per-head einsums at
+    every model shape (coarse bf16 fwd+bwd 45.8 vs 24.6 ms; coarse f32
+    70.6 vs 58.4; fine bf16 74.9 vs 59.8) — XLA handles the head-split
+    layouts better than the hypothesis assumed. Kept as a documented
+    alternative; EncoderLayer stays on linear_attention.
+
     Args:
         q: [B, L, C]; k, v: [B, S, C] (pre-head-split projections).
     Returns:
