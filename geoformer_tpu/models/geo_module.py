@@ -165,17 +165,11 @@ class GeoModule(nn.Module):
         # On TPU the cross layers use the gather-free box-mask kernel (each
         # query's 5x5 window == a box mask around its warped center over the
         # full token set); elsewhere, explicit window gathers. The kernel
-        # keeps the whole K/V set resident in VMEM (~16 MB/core): estimate
-        # the footprint (K+V + two [tile, S] f32 temporaries at the default
-        # q_tile 120) and fall back to gathers when it can't fit — e.g. f32
-        # at 480x640 (S=4800) measures 19.1 MB and fails to compile.
-        itemsize = jnp.dtype(self.dtype).itemsize
-        s_max = max(h0 * w0, h1 * w1)
-        vmem_est = 2 * s_max * c * itemsize + 2 * 120 * s_max * 4
-        # 12 MB threshold: the estimate undercounts (exp/attn/output tiles);
-        # the f32 480x640 case estimates 14.4 MB but actually needs 19.1 MB.
-        use_box = (cfg.use_pallas and jax.default_backend() == "tpu"
-                   and vmem_est <= 12 * 2 ** 20)
+        # internally switches between a whole-KV-resident forward and a
+        # kv-tiled online-softmax forward by VMEM footprint (f32 at S=4800
+        # needs 19.1 MB whole-KV vs the 16 MB core limit), so any dtype and
+        # resolution compiles.
+        use_box = cfg.use_pallas and jax.default_backend() == "tpu"
         r = cfg.window_size // 2
         if use_box:
             def centers_of(Hm, hw_src, hw_dst):

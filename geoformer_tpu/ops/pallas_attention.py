@@ -274,6 +274,58 @@ def _box_fwd_kernel(c_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                                   preferred_element_type=jnp.float32)
 
 
+def _box_fwd_tiled_kernel(c_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                          m_scr, d_scr, a_scr, *, nhead: int, radius: int,
+                          wd: int, hd_grid: int, ts: int, n_s: int,
+                          mask_fill: float):
+    """Online-softmax (flash) forward over a (batch, q-tile, kv-tile) grid:
+    K/V stream through VMEM in TS-sized tiles instead of residing whole, so
+    the kernel fits f32 at S=4800 (whole-KV needs 19.1 MB there). Scratch
+    carries the running max/denominator/weighted-V across kv tiles; output
+    and LSE are written on the last tile. Numerics match _box_fwd_kernel."""
+    si = pl.program_id(2)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        d_scr[...] = jnp.zeros_like(d_scr)
+        a_scr[...] = jnp.zeros_like(a_scr)
+
+    hd = q_ref.shape[2]
+    d = hd // nhead
+    scale = 1.0 / (d ** 0.5)
+    cx = c_ref[0, :, 0][:, None]                             # [TL, 1]
+    cy = c_ref[0, :, 1][:, None]
+    sidx = si * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
+    box = _box_mask(cx, cy, sidx % wd, sidx // wd, radius)   # [TL, TS]
+    for h in range(nhead):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [TL, TS]
+        z = scale * jnp.where(box, logits, mask_fill)
+        m_old = m_scr[:, h][:, None]
+        m_new = jnp.maximum(m_old, z.max(axis=1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        e = jnp.exp(z - m_new)
+        m_scr[:, h] = m_new[:, 0]
+        d_scr[:, h] = d_scr[:, h] * corr[:, 0] + e.sum(axis=1)
+        a_scr[:, sl] = a_scr[:, sl] * corr + jnp.dot(
+            e, v_ref[0, :, sl], preferred_element_type=jnp.float32)
+
+    @pl.when(si == n_s - 1)
+    def _emit():
+        # full-grid row validity, same formula as the backward kernel
+        row_ok = ((cx + radius >= 0) & (cx - radius <= wd - 1)
+                  & (cy + radius >= 0) & (cy - radius <= hd_grid - 1))
+        for h in range(nhead):
+            sl = slice(h * d, (h + 1) * d)
+            denom = d_scr[:, h][:, None]
+            o_ref[0, :, sl] = jnp.where(
+                row_ok, a_scr[:, sl] / denom, 0.0)
+            lse_ref[0, :, h] = m_scr[:, h] + jnp.log(denom[:, 0])
+
+
 def _box_bwd_kernel(c_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                     dq_ref, dk_ref, dv_ref, *, nhead: int, radius: int,
                     wd: int, hd_grid: int, ts: int, mask_fill: float):
@@ -377,7 +429,7 @@ def box_window_attention(q, k, v, centers, grid_hw, radius: int = 2,
 
 
 def _box_forward(q, k, v, centers, grid_hw, radius, mask_fill, q_tile,
-                 kv_tile, interpret=False):
+                 kv_tile, interpret=False, force_tiled=False):
     b, l, h, d = q.shape
     s = k.shape[1]
     tl = _divisor_tile(l, q_tile)
@@ -389,6 +441,50 @@ def _box_forward(q, k, v, centers, grid_hw, radius, mask_fill, q_tile,
     qf = q.reshape(b, l, h * d)
     kf = k.reshape(b, s, h * d)
     vf = v.reshape(b, s, h * d)
+
+    # The whole-KV kernel keeps K+V resident plus two [TL, S] f32
+    # temporaries per head iteration; beyond ~12 MB estimated (f32 at
+    # S=4800 measures 19.1 MB > the 16 MB core limit) switch to the
+    # kv-tiled online-softmax variant, which fits any resolution.
+    itemsize = jnp.dtype(q.dtype).itemsize
+    vmem_est = 2 * s * h * d * itemsize + 2 * tl * s * 4
+    ts = _divisor_tile(s, kv_tile)
+    if (force_tiled or vmem_est > 12 * 2 ** 20) and ts != 0:
+        n_s = s // ts
+        out, lse = pl.pallas_call(
+            functools.partial(_box_fwd_tiled_kernel, nhead=h, radius=radius,
+                              wd=grid_hw[1], hd_grid=grid_hw[0], ts=ts,
+                              n_s=n_s, mask_fill=mask_fill),
+            grid=(b, l // tl, n_s),
+            in_specs=[
+                pl.BlockSpec((1, tl, 2), lambda bi, li, si: (bi, li, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tl, h * d), lambda bi, li, si: (bi, li, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ts, h * d), lambda bi, li, si: (bi, si, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ts, h * d), lambda bi, li, si: (bi, si, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tl, h * d), lambda bi, li, si: (bi, li, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tl, h), lambda bi, li, si: (bi, li, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, l, h * d), jnp.float32),
+                jax.ShapeDtypeStruct((b, l, h), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tl, h), jnp.float32),
+                pltpu.VMEM((tl, h), jnp.float32),
+                pltpu.VMEM((tl, h * d), jnp.float32),
+            ],
+            interpret=interpret,
+        )(centers, qf, kf, vf)
+        return out.reshape(b, l, h, d).astype(q.dtype), lse
+
     out, lse = pl.pallas_call(
         functools.partial(_box_fwd_kernel, nhead=h, radius=radius,
                           wd=grid_hw[1], mask_fill=mask_fill),

@@ -186,3 +186,24 @@ def test_masked_kv_attention_grad_matches_reference():
     for a, b_ in zip(g_ours, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_box_fwd_tiled_kernel_interpret_matches_reference():
+    """The kv-tiled online-softmax forward must match the reference (and the
+    whole-KV kernel's LSE definition) across partial/empty boxes."""
+    from geoformer_tpu.ops.pallas_attention import (
+        _box_forward,
+        box_attention_reference,
+    )
+
+    q, k, v, centers, grid_hw, r = _box_setup(seed=13)
+    out, lse = _box_forward(q, k, v, centers, grid_hw, r, -1e8, 8, 16,
+                            interpret=True, force_tiled=True)
+    ref = box_attention_reference(q, k, v, centers, grid_hw, r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+    # LSE must agree with the whole-KV kernel's (feeds the shared backward)
+    _, lse_ref = _box_forward(q, k, v, centers, grid_hw, r, -1e8, 8, 16,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                               rtol=1e-5, atol=1e-5)
