@@ -90,6 +90,7 @@ def main():
 
     if not args.gam_only:
         full_step_row(False, False, "train step (f32)")
+        full_step_row(False, True, "train step (f32+pallas)")
         full_step_row(True, True, "train step (bf16+pallas)")
 
     img2b = jnp.asarray(rng.random((2 * B, H, W, 1), np.float32))

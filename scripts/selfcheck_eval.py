@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--ransac-thr", type=float, default=3.0)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--image", action="append", default=None,
+                    help="real grayscale image(s) to use as the base texture "
+                         "instead of procedural ones (cycled across pairs); "
+                         "tests real-photo statistics vs the synthetic "
+                         "training distribution")
     args = ap.parse_args()
 
     from geoformer_tpu.core.cache import enable_compile_cache
@@ -59,10 +64,20 @@ def main():
     H, W = args.height, args.width
     rng = np.random.default_rng(args.seed)
 
-    base = native_textures(args.pairs, H, W, args.seed)
-    if base is None:
-        base = np.stack([procedural_texture(rng, (H, W))
-                         for _ in range(args.pairs)])
+    if args.image:
+        import cv2
+
+        ims = []
+        for p in args.image:
+            im = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+            assert im is not None, p
+            ims.append(cv2.resize(im, (W, H)).astype(np.float32) / 255.0)
+        base = np.stack([ims[i % len(ims)] for i in range(args.pairs)])
+    else:
+        base = native_textures(args.pairs, H, W, args.seed)
+        if base is None:
+            base = np.stack([procedural_texture(rng, (H, W))
+                             for _ in range(args.pairs)])
     keys = jax.random.split(jax.random.key(args.seed), args.pairs)
     Hs = np.asarray(jax.vmap(
         lambda k: sample_homography(k, (H, W)))(keys))
