@@ -75,6 +75,7 @@ def cmd_train(args):
         resume=args.resume,
         val_every=args.val_every,
         tensorboard=args.tensorboard,
+        texture_style=args.texture_style,
     )
 
 
@@ -288,6 +289,10 @@ def main():
     t.add_argument("--warmup", type=int, default=0,
                    help="override warmup in actual steps")
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--texture-style", choices=("mixed", "structured"),
+                   default="mixed",
+                   help="procedural bank family mix (mixed adds dead-leaves "
+                        "+ fBm natural-statistics textures)")
     t.add_argument("--val-every", type=int, default=0)
     t.add_argument("--tensorboard", action="store_true")
     t.add_argument("--bf16", action="store_true",

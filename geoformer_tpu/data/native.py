@@ -46,6 +46,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
         ctypes.c_int]
+    if hasattr(lib, "synthgen_textures_mixed"):  # older .so builds lack it
+        lib.synthgen_textures_mixed.argtypes = lib.synthgen_textures.argtypes
     _LIB = lib
     return lib
 
@@ -58,6 +60,20 @@ def native_textures(batch: int, h: int, w: int, seed: int,
         return None
     out = np.empty((batch, h, w), np.float32)
     lib.synthgen_textures(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        batch, h, w, seed & 0xFFFFFFFFFFFFFFFF, n_blobs)
+    return out
+
+
+def native_textures_mixed(batch: int, h: int, w: int, seed: int,
+                          n_blobs: int = 60) -> Optional[np.ndarray]:
+    """Mixed-family training bank (structured / dead-leaves / fBm by
+    index % 3); None if the library is unavailable or predates the export."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "synthgen_textures_mixed"):
+        return None
+    out = np.empty((batch, h, w), np.float32)
+    lib.synthgen_textures_mixed(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         batch, h, w, seed & 0xFFFFFFFFFFFFFFFF, n_blobs)
     return out

@@ -106,6 +106,88 @@ def procedural_texture(rng: np.random.Generator, hw: Tuple[int, int],
     return img.astype(np.float32)
 
 
+def _value_noise(rng: np.random.Generator, hw: Tuple[int, int],
+                 cell: int) -> np.ndarray:
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    gh, gw = h // cell + 2, w // cell + 2
+    lat = rng.uniform(-1, 1, (gh, gw)).astype(np.float32)
+    fy, fx = yy / cell, xx / cell
+    y0, x0 = fy.astype(np.int32), fx.astype(np.int32)
+    ty, tx = fy - y0, fx - x0
+    return ((1 - ty) * ((1 - tx) * lat[y0, x0] + tx * lat[y0, x0 + 1])
+            + ty * ((1 - tx) * lat[y0 + 1, x0] + tx * lat[y0 + 1, x0 + 1]))
+
+
+def dead_leaves_texture(rng: np.random.Generator,
+                        hw: Tuple[int, int]) -> np.ndarray:
+    """Dead-leaves model (numpy twin of cpp texture_dead_leaves): occluding
+    anti-aliased disks with p(r) ~ r^-3 radii — natural-image statistics
+    (1/f-like spectrum, occlusion edges at every scale)."""
+    h, w = hw
+    img = np.full((h, w), rng.uniform(0.2, 0.8), np.float32)
+    rmin, rmax = 2.5, 0.35 * min(h, w)
+    q2 = (rmin / rmax) ** 2
+    for _ in range(4000):
+        r = rmin / np.sqrt(1.0 - rng.uniform() * (1.0 - q2))
+        cx, cy = rng.uniform(-r, w + r), rng.uniform(-r, h + r)
+        col = rng.uniform(0.05, 0.95)
+        gx = rng.uniform(-0.25, 0.25) / max(r, 1.0)
+        gy = rng.uniform(-0.25, 0.25) / max(r, 1.0)
+        x0, x1 = max(0, int(cx - r - 1)), min(w, int(cx + r) + 2)
+        y0, y1 = max(0, int(cy - r - 1)), min(h, int(cy + r) + 2)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        dx = np.arange(x0, x1, dtype=np.float32) - cx
+        dy = (np.arange(y0, y1, dtype=np.float32) - cy)[:, None]
+        d = np.sqrt(dx * dx + dy * dy)
+        alpha = np.clip(r - d + 0.5, 0.0, 1.0)
+        shade = np.clip(col + gx * dx + gy * dy, 0.0, 1.0)
+        win = img[y0:y1, x0:x1]
+        img[y0:y1, x0:x1] = alpha * shade + (1 - alpha) * win
+    img += 0.04 * _value_noise(rng, hw, 4)
+    return _normalize_robust(img)
+
+
+def _normalize_robust(img: np.ndarray) -> np.ndarray:
+    """2%-98% percentile stretch to [0,1] (cpp normalize_robust twin):
+    real-photo-like contrast instead of min-max's timid std."""
+    lo, hi = np.percentile(img, [2.0, 98.0])
+    return np.clip((img - lo) / max(hi - lo, 1e-3), 0.0, 1.0
+                   ).astype(np.float32)
+
+
+def fbm_texture(rng: np.random.Generator, hw: Tuple[int, int]) -> np.ndarray:
+    """Fractal value noise (~1/f^2 spectrum) + hard-edged rectangles
+    (numpy twin of cpp texture_fbm)."""
+    h, w = hw
+    img = np.zeros((h, w), np.float32)
+    amp = 0.5
+    cell = 128
+    while cell >= 4:
+        if cell < min(h, w):
+            img += amp * _value_noise(rng, hw, cell)
+        amp *= 0.62
+        cell //= 2
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(6):
+        rcx, rcy = rng.uniform(0, w), rng.uniform(0, h)
+        hw2, hh2 = rng.uniform(4, 0.25 * w), rng.uniform(4, 0.25 * h)
+        th = rng.uniform(0, np.pi)
+        a = rng.uniform(-0.35, 0.35)
+        u = np.cos(th) * (xx - rcx) + np.sin(th) * (yy - rcy)
+        v = -np.sin(th) * (xx - rcx) + np.cos(th) * (yy - rcy)
+        img += a * ((np.abs(u) <= hw2) & (np.abs(v) <= hh2))
+    return _normalize_robust(img)
+
+
+def mixed_texture_bank(rng: np.random.Generator, hw: Tuple[int, int],
+                       n: int) -> np.ndarray:
+    """[n, H, W] bank, one third each structured / dead-leaves / fBm."""
+    gens = (procedural_texture, dead_leaves_texture, fbm_texture)
+    return np.stack([gens[i % 3](rng, hw) for i in range(n)])
+
+
 def load_image_dir(root: str, hw: Tuple[int, int]) -> Optional[np.ndarray]:
     """Load grayscale images (jpg/png/ppm) resized to hw; None if dir empty."""
     try:
@@ -185,16 +267,30 @@ def make_pair_batch(base: jax.Array, key: jax.Array, coarse_scale: int = 8):
 
 
 def base_image_stream(hw: Tuple[int, int], batch: int, seed: int = 0,
-                      image_dir: Optional[str] = None) -> Iterator[np.ndarray]:
-    """Endless stream of [batch, H, W] base images (dataset dir or procedural)."""
+                      image_dir: Optional[str] = None,
+                      texture_style: str = "mixed") -> Iterator[np.ndarray]:
+    """Endless stream of [batch, H, W] base images (dataset dir or procedural).
+
+    texture_style: "mixed" (default; structured + dead-leaves + fBm — closes
+    the measured real-photo domain gap, RESULTS.md) or "structured" (the
+    round-1/2 single-family bank, kept for comparability).
+    """
     rng = np.random.default_rng(seed)
     bank = load_image_dir(image_dir, hw) if image_dir else None
     if bank is None:
-        from geoformer_tpu.data.native import native_textures
+        from geoformer_tpu.data.native import (
+            native_textures,
+            native_textures_mixed,
+        )
 
-        bank = native_textures(256, hw[0], hw[1], seed)  # C++ fast path
+        gen = (native_textures_mixed if texture_style == "mixed"
+               else native_textures)
+        bank = gen(256, hw[0], hw[1], seed)  # C++ fast path
         if bank is None:
-            bank = np.stack([procedural_texture(rng, hw) for _ in range(64)])
+            bank = (mixed_texture_bank(rng, hw, 64)
+                    if texture_style == "mixed"
+                    else np.stack([procedural_texture(rng, hw)
+                                   for _ in range(64)]))
     n = len(bank)
     while True:
         idx = rng.integers(0, n, size=batch)

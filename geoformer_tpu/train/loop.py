@@ -55,6 +55,7 @@ def run_training(
     resume: bool = False,
     val_every: int = 0,
     tensorboard: bool = False,
+    texture_style: str = "mixed",
 ):
     devices = np.array(jax.devices())
     mesh = Mesh(devices, ("data",))
@@ -93,13 +94,15 @@ def run_training(
     val_fn = jax.jit(make_val_step(model, tcfg)) if val_every else None
 
     data_sh = NamedSharding(mesh, P("data"))
-    stream = base_image_stream(image_hw, batch_size, seed, image_dir)
+    stream = base_image_stream(image_hw, batch_size, seed, image_dir,
+                               texture_style=texture_style)
     pair_key = jax.random.key(seed + 1)
     ransac_key = jax.random.key(seed + 2)
     # held-out validation batch from a disjoint seed
     if val_every:
         val_stream = base_image_stream(image_hw, batch_size, seed + 9999,
-                                       image_dir)
+                                       image_dir,
+                                       texture_style=texture_style)
         val_base = jnp.asarray(next(val_stream))
         val_batch = make_pair_batch(val_base, jax.random.key(seed + 777))
 

@@ -38,3 +38,44 @@ def test_warp_matches_cv2():
         # interiors agree; border handling differs slightly
         np.testing.assert_allclose(out[i][4:-4, 4:-4], ref[4:-4, 4:-4],
                                    atol=2e-3)
+
+
+def test_mixed_texture_bank_styles():
+    """Mixed bank: style 0 rows bit-match the single-style generator
+    (selfcheck protocol unchanged); dead-leaves/fBm rows have real-photo-like
+    contrast; numpy twins land in the same statistical regime."""
+    from geoformer_tpu.data.native import native_textures_mixed
+    from geoformer_tpu.data.synthetic import (
+        dead_leaves_texture,
+        fbm_texture,
+    )
+
+    mixed = native_textures_mixed(6, 96, 128, seed=11)
+    single = native_textures(6, 96, 128, seed=11)
+    assert mixed.shape == (6, 96, 128)
+    assert mixed.min() >= 0.0 and mixed.max() <= 1.0
+    # index % 3 == 0 rows are the structured family, bit-identical
+    np.testing.assert_array_equal(mixed[0], single[0])
+    np.testing.assert_array_equal(mixed[3], single[3])
+    # dead-leaves rows: robust-stretched occlusion texture (higher contrast)
+    for i in (1, 4):
+        assert mixed[i].std() > 0.15, mixed[i].std()
+    # numpy twins are the same family statistically (not bit-identical)
+    rng = np.random.default_rng(3)
+    dl = dead_leaves_texture(rng, (96, 128))
+    fb = fbm_texture(rng, (96, 128))
+    assert dl.shape == (96, 128) and fb.shape == (96, 128)
+    assert 0.12 < dl.std() < 0.4 and 0.1 < fb.std() < 0.4
+    assert dl.min() >= 0.0 and dl.max() <= 1.0
+
+
+def test_base_image_stream_styles():
+    from geoformer_tpu.data.synthetic import base_image_stream
+
+    s_mixed = next(base_image_stream((48, 64), 3, seed=5,
+                                     texture_style="mixed"))
+    s_struct = next(base_image_stream((48, 64), 3, seed=5,
+                                      texture_style="structured"))
+    assert s_mixed.shape == (3, 48, 64) and s_struct.shape == (3, 48, 64)
+    # different banks (mixed includes dead-leaves/fBm entries)
+    assert np.abs(s_mixed - s_struct).mean() > 1e-3
