@@ -296,22 +296,37 @@ def _box_fwd_tiled_kernel(c_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     scale = 1.0 / (d ** 0.5)
     cx = c_ref[0, :, 0][:, None]                             # [TL, 1]
     cy = c_ref[0, :, 1][:, None]
-    sidx = si * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
-    box = _box_mask(cx, cy, sidx % wd, sidx // wd, radius)   # [TL, TS]
-    for h in range(nhead):
-        sl = slice(h * d, (h + 1) * d)
-        logits = jax.lax.dot_general(
-            q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [TL, TS]
-        z = scale * jnp.where(box, logits, mask_fill)
-        m_old = m_scr[:, h][:, None]
-        m_new = jnp.maximum(m_old, z.max(axis=1, keepdims=True))
-        corr = jnp.exp(m_old - m_new)
-        e = jnp.exp(z - m_new)
-        m_scr[:, h] = m_new[:, 0]
-        d_scr[:, h] = d_scr[:, h] * corr[:, 0] + e.sum(axis=1)
-        a_scr[:, sl] = a_scr[:, sl] * corr + jnp.dot(
-            e, v_ref[0, :, sl], preferred_element_type=jnp.float32)
+
+    # Box-sparsity skip: with radius=2 each query needs 25 of S keys, and
+    # raster-ordered queries have spatially coherent warped centers, so most
+    # kv tiles intersect NO query box in this tile. The tile covers dest
+    # rows [si*ts//wd, (si*ts+ts-1)//wd]; skip the MXU work when the tile's
+    # row span misses every query's [cy-r, cy+r] band (conservative on
+    # partial first/last rows — correctness unaffected, masked entries
+    # contribute exp(mask_fill) = 0 exactly as when executed).
+    row_lo = si * ts // wd
+    row_hi = (si * ts + ts - 1) // wd
+    overlap = jnp.logical_and(jnp.max(cy) + radius >= row_lo,
+                              jnp.min(cy) - radius <= row_hi)
+
+    @pl.when(overlap)
+    def _tile_work():
+        sidx = si * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
+        box = _box_mask(cx, cy, sidx % wd, sidx // wd, radius)  # [TL, TS]
+        for h in range(nhead):
+            sl = slice(h * d, (h + 1) * d)
+            logits = jax.lax.dot_general(
+                q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [TL, TS]
+            z = scale * jnp.where(box, logits, mask_fill)
+            m_old = m_scr[:, h][:, None]
+            m_new = jnp.maximum(m_old, z.max(axis=1, keepdims=True))
+            corr = jnp.exp(m_old - m_new)
+            e = jnp.exp(z - m_new)
+            m_scr[:, h] = m_new[:, 0]
+            d_scr[:, h] = d_scr[:, h] * corr[:, 0] + e.sum(axis=1)
+            a_scr[:, sl] = a_scr[:, sl] * corr + jnp.dot(
+                e, v_ref[0, :, sl], preferred_element_type=jnp.float32)
 
     @pl.when(si == n_s - 1)
     def _emit():
@@ -321,9 +336,16 @@ def _box_fwd_tiled_kernel(c_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         for h in range(nhead):
             sl = slice(h * d, (h + 1) * d)
             denom = d_scr[:, h][:, None]
+            safe = jnp.maximum(denom, 1e-30)
             o_ref[0, :, sl] = jnp.where(
-                row_ok, a_scr[:, sl] / denom, 0.0)
-            lse_ref[0, :, h] = m_scr[:, h] + jnp.log(denom[:, 0])
+                row_ok, a_scr[:, sl] / safe, 0.0)
+            # rows whose every kv tile was skipped (box fully off-grid)
+            # report the same LSE the whole-KV kernel computes for them:
+            # all-masked logits give m = scale*mask_fill, denom = S
+            lse_ref[0, :, h] = jnp.where(
+                denom[:, 0] > 0,
+                m_scr[:, h] + jnp.log(safe[:, 0]),
+                scale * mask_fill + jnp.log(jnp.float32(n_s * ts)))
 
 
 def _box_bwd_kernel(c_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
@@ -349,36 +371,48 @@ def _box_bwd_kernel(c_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     scale = 1.0 / (d ** 0.5)
     cx = c_ref[0, :, 0][:, None]
     cy = c_ref[0, :, 1][:, None]
-    sidx = st * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
-    box = _box_mask(cx, cy, sidx % wd, sidx // wd, radius)   # [TL, TS]
-    # row validity over the FULL grid (not just this tile): matches the
-    # forward's zero-empty-rows semantics
-    row_ok = ((cx + radius >= 0) & (cx - radius <= wd - 1)
-              & (cy + radius >= 0) & (cy - radius <= hd_grid - 1))
-    for h in range(nhead):
-        sl = slice(h * d, (h + 1) * d)
-        qh = q_ref[0, :, sl]                                 # [TL, D]
-        kh = k_ref[0, :, sl]                                 # [TS, D]
-        vh = v_ref[0, :, sl]
-        gh = g_ref[0, :, sl]
-        logits = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [TL, TS]
-        lse = lse_ref[0, :, h][:, None]
-        attn = jnp.where(box & row_ok, jnp.exp(scale * logits - lse), 0.0)
-        dv_ref[0, :, sl] += jax.lax.dot_general(
-            attn, gh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        d_attn = jax.lax.dot_general(
-            gh, vh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        delta = delta_ref[0, :, h][:, None]
-        dl = attn * (d_attn - delta) * scale
-        dq_ref[0, :, sl] += jnp.dot(dl, kh,
-                                    preferred_element_type=jnp.float32)
-        dk_ref[0, :, sl] += jax.lax.dot_general(
-            dl, qh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+
+    # Same box-sparsity skip as the tiled forward: if this kv tile's dest-row
+    # span misses every query's [cy-r, cy+r] band, every attn entry is 0 and
+    # all six matmuls contribute nothing — skip them.
+    row_lo = st * ts // wd
+    row_hi = (st * ts + ts - 1) // wd
+    overlap = jnp.logical_and(jnp.max(cy) + radius >= row_lo,
+                              jnp.min(cy) - radius <= row_hi)
+
+    @pl.when(overlap)
+    def _tile_work():
+        sidx = st * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
+        box = _box_mask(cx, cy, sidx % wd, sidx // wd, radius)  # [TL, TS]
+        # row validity over the FULL grid (not just this tile): matches the
+        # forward's zero-empty-rows semantics
+        row_ok = ((cx + radius >= 0) & (cx - radius <= wd - 1)
+                  & (cy + radius >= 0) & (cy - radius <= hd_grid - 1))
+        for h in range(nhead):
+            sl = slice(h * d, (h + 1) * d)
+            qh = q_ref[0, :, sl]                             # [TL, D]
+            kh = k_ref[0, :, sl]                             # [TS, D]
+            vh = v_ref[0, :, sl]
+            gh = g_ref[0, :, sl]
+            logits = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [TL, TS]
+            lse = lse_ref[0, :, h][:, None]
+            attn = jnp.where(box & row_ok,
+                             jnp.exp(scale * logits - lse), 0.0)
+            dv_ref[0, :, sl] += jax.lax.dot_general(
+                attn, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d_attn = jax.lax.dot_general(
+                gh, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            delta = delta_ref[0, :, h][:, None]
+            dl = attn * (d_attn - delta) * scale
+            dq_ref[0, :, sl] += jnp.dot(dl, kh,
+                                        preferred_element_type=jnp.float32)
+            dk_ref[0, :, sl] += jax.lax.dot_general(
+                dl, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 def box_attention_reference(q, k, v, centers, grid_hw, radius,

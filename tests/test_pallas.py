@@ -207,3 +207,44 @@ def test_box_fwd_tiled_kernel_interpret_matches_reference():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_box_tiled_skip_clustered_centers():
+    """Box-sparsity tile skipping: centers clustered in the TOP rows force
+    most kv tiles to be skipped; fwd+bwd must still match the reference
+    exactly (skipped tiles contribute exp(mask_fill)=0 either way)."""
+    from geoformer_tpu.ops.pallas_attention import (
+        _box_bwd_pallas,
+        _box_forward,
+        box_attention_reference,
+    )
+
+    rng = np.random.default_rng(21)
+    b, hg, wg, h, d, r = 2, 8, 8, 2, 4, 1
+    s = hg * wg
+    l = s
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    # all centers in rows 0-1 -> kv tiles covering rows 4+ skip entirely;
+    # a few rows fully off-grid exercise the denom==0 LSE fallback
+    centers = jnp.stack([
+        jnp.asarray(rng.integers(0, wg, size=(b, l)), jnp.int32),
+        jnp.asarray(rng.integers(-6, 2, size=(b, l)), jnp.int32),
+    ], axis=-1)
+    out, lse = _box_forward(q, k, v, centers, (hg, wg), r, -1e8, 8, 16,
+                            interpret=True, force_tiled=True)
+    ref = box_attention_reference(q, k, v, centers, (hg, wg), r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+    assert np.isfinite(np.asarray(lse)).all()
+
+    g = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+    got = _box_bwd_pallas(q, k, v, centers, g, out, lse, (hg, wg), r, -1e8,
+                          8, 16, interpret=True)
+    _, vjp = jax.vjp(lambda a, b_, c: box_attention_reference(
+        a, b_, c, centers, (hg, wg), r), q, k, v)
+    refg = vjp(g)
+    for a, b_ in zip(got, refg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
