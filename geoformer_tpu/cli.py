@@ -76,6 +76,7 @@ def cmd_train(args):
         val_every=args.val_every,
         tensorboard=args.tensorboard,
         texture_style=args.texture_style,
+        log_figures=args.log_figures,
     )
 
 
@@ -295,6 +296,9 @@ def main():
                         "+ fBm natural-statistics textures)")
     t.add_argument("--val-every", type=int, default=0)
     t.add_argument("--tensorboard", action="store_true")
+    t.add_argument("--log-figures", action="store_true",
+                   help="log a val-batch match figure to TensorBoard at each "
+                        "validation (extra inference compile)")
     t.add_argument("--bf16", action="store_true",
                    help="bf16 compute path (params stay f32)")
     t.add_argument("--pallas", action="store_true",

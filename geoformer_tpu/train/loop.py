@@ -56,6 +56,7 @@ def run_training(
     val_every: int = 0,
     tensorboard: bool = False,
     texture_style: str = "mixed",
+    log_figures: bool = False,
 ):
     devices = np.array(jax.devices())
     mesh = Mesh(devices, ("data",))
@@ -112,6 +113,18 @@ def run_training(
 
         tb = SummaryWriter(os.path.join(ckpt_dir, "tb"))
 
+    # Optional match-figure logging at each validation step (the reference
+    # logs matching figures from its PL validation loop; here it is opt-in
+    # because the inference forward is one extra compile over the tunnel).
+    fig_fwd = None
+    if tb is not None and log_figures and val_every:
+        @jax.jit
+        def fig_fwd(st, vb):
+            return model.apply(
+                {"params": st.params, "batch_stats": st.batch_stats},
+                vb["image0"], vb["image1"],
+                rngs={"ransac": jax.random.key(0)})
+
     os.makedirs(ckpt_dir, exist_ok=True)
     metrics_path = os.path.join(ckpt_dir, "metrics.jsonl")
     t0 = time.time()
@@ -150,6 +163,13 @@ def run_training(
                     for k, v in vm.items():
                         if k != "step":
                             tb.add_scalar(k, v, step + 1)
+                if fig_fwd is not None:
+                    from geoformer_tpu.utils.plotting import (
+                        log_val_match_figure,
+                    )
+
+                    log_val_match_figure(tb, fig_fwd(state, val_batch),
+                                         val_batch, step + 1)
             if (step + 1) % ckpt_every == 0 or step + 1 == steps:
                 save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
 

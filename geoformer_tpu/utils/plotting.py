@@ -95,3 +95,26 @@ def make_matching_figure(
         plt.close(fig)
         return None
     return fig
+
+
+def log_val_match_figure(tb, out, batch, step: int, tag: str = "val/matches"):
+    """Render the first pair's predicted matches to TensorBoard.
+
+    ``out`` is a model MatchOutput (needs ``.fine.mkpts0/mkpts1/valid``);
+    ``batch`` carries image0/image1 as [B, H, W, 1] in [0, 1]. Mirrors the
+    reference's per-validation match-figure logging from its Lightning loop
+    (lightning_geoformer.py figure hooks) without coupling the train loop to
+    matplotlib when figures are off.
+    """
+    import matplotlib.pyplot as plt
+
+    mk0 = np.asarray(out.fine.mkpts0[0])
+    mk1 = np.asarray(out.fine.mkpts1[0])
+    ok = np.asarray(out.fine.valid[0]).astype(bool)
+    img0 = np.asarray(batch["image0"][0, ..., 0])
+    img1 = np.asarray(batch["image1"][0, ..., 0])
+    fig = make_matching_figure(img0, img1, mk0[ok], mk1[ok],
+                               text=[f"step {step}",
+                                     f"{int(ok.sum())} matches"])
+    tb.add_figure(tag, fig, step)
+    plt.close(fig)

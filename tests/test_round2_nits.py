@@ -144,3 +144,36 @@ def test_matching_figure_smoke(tmp_path):
     import os
 
     assert os.path.getsize(p) > 0
+
+
+def test_log_val_match_figure_records_to_writer():
+    """Validation match-figure logging: renders the first pair's valid
+    matches and hands a figure to the SummaryWriter-compatible sink."""
+    from types import SimpleNamespace
+
+    from geoformer_tpu.utils.plotting import log_val_match_figure
+
+    class Sink:
+        def __init__(self):
+            self.calls = []
+
+        def add_figure(self, tag, fig, step):
+            self.calls.append((tag, fig, step))
+
+    b, m = 2, 4
+    out = SimpleNamespace(fine=SimpleNamespace(
+        mkpts0=np.tile(np.array([[4.0, 4.0], [10, 8], [0, 0], [1, 1]]),
+                       (b, 1, 1)),
+        mkpts1=np.tile(np.array([[5.0, 4.0], [11, 9], [0, 0], [1, 1]]),
+                       (b, 1, 1)),
+        valid=np.tile(np.array([1, 1, 0, 0], bool), (b, 1)),
+    ))
+    batch = {
+        "image0": np.zeros((b, 16, 20, 1), np.float32),
+        "image1": np.ones((b, 16, 20, 1), np.float32),
+    }
+    tb = Sink()
+    log_val_match_figure(tb, out, batch, step=7)
+    (tag, fig, step), = tb.calls
+    assert tag == "val/matches" and step == 7
+    assert fig.get_axes(), "figure should carry the composited axes"
