@@ -41,6 +41,24 @@ def main():
 
     respect_platform_env()
     enable_compile_cache()
+
+    # Backend-init watchdog: the tunnel's failure mode is a silent hang in
+    # plugin init (observed 2026-08-18: host-side pool down, client blocks
+    # forever). Probe device discovery in a side thread so a dead tunnel
+    # turns into a bounded, diagnosable failure instead of a stuck driver.
+    import os
+    import sys
+    import threading
+
+    ready = threading.Event()
+    threading.Thread(target=lambda: (jax.devices(), ready.set()),
+                     daemon=True).start()
+    if not ready.wait(float(os.environ.get(
+            "GEOFORMER_BENCH_INIT_TIMEOUT_S", "300"))):
+        print("bench.py: accelerator backend init timed out (tunnel down?)",
+              file=sys.stderr, flush=True)
+        os._exit(2)
+
     from geoformer_tpu.config import (
         GeoFormerConfig,
         GeoModuleConfig,
@@ -86,8 +104,6 @@ def main():
     dt = float(np.median(times))
 
     pairs_per_s = B / dt
-    import sys
-
     print(f"# compile+first: {compile_s:.1f}s  per-call ms: "
           f"{[round(t * 1e3, 1) for t in times]}", file=sys.stderr, flush=True)
 
@@ -96,8 +112,6 @@ def main():
     # device kind (override with GEOFORMER_PEAK_TFLOPS for new hardware).
     mfu = tflops = None
     try:
-        import os
-
         ca = fwd.lower(params, bank[0], bank[1]).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
