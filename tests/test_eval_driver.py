@@ -159,3 +159,26 @@ def test_eval_isc_driver_runs(tiny_model, tmp_path):
                    log=lambda *_: None)
     assert out["n_pairs"] == 2
     assert len(out["auc"]) == 3
+
+
+def test_batched_matcher_mesh_matches_single_device(tiny_model):
+    """Data-parallel eval: a mesh-sharded matcher returns the same matches
+    as the single-device path (params replicated, batch over P('data'))."""
+    from jax.sharding import Mesh
+
+    cfg, params = tiny_model
+    rng = np.random.default_rng(3)
+    imgs0 = [rng.random((96, 128)).astype(np.float32) for _ in range(4)]
+    imgs1 = [np.roll(im, 2, axis=1) for im in imgs0]
+
+    plain = BatchedMatcher(cfg, params, batch_size=4)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    sharded = BatchedMatcher(cfg, params, batch_size=4, mesh=mesh)
+
+    out_p = plain.match_batch(imgs0, imgs1)
+    out_s = sharded.match_batch(imgs0, imgs1)
+    assert len(out_p) == len(out_s) == 4
+    for (a0, a1, ac), (b0, b1, bc) in zip(out_p, out_s):
+        np.testing.assert_allclose(a0, b0, atol=1e-4)
+        np.testing.assert_allclose(a1, b1, atol=1e-4)
+        np.testing.assert_allclose(ac, bc, atol=1e-4)
