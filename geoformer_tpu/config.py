@@ -117,6 +117,10 @@ class GeoFormerConfig:
     fine_scale: int = 2    # image -> fine grid stride
     # Compute dtype for matmul-heavy paths; params/statistics stay f32.
     use_bf16: bool = False
+    # Sequence-parallel mesh axis: shard one pair's token/spatial dim over
+    # this mesh axis for high-resolution matching (core/spmd.py). Requires
+    # streaming extraction; jit under jax.sharding.set_mesh(mesh).
+    seq_axis: "str | None" = None
 
     def replace(self, **kw) -> "GeoFormerConfig":
         return dataclasses.replace(self, **kw)

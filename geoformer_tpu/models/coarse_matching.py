@@ -112,6 +112,7 @@ def coarse_match(
     mask1: Optional[jax.Array] = None,
     force_one: bool = False,
     streaming: bool = False,
+    sp_axis: Optional[str] = None,
 ) -> CoarseMatches:
     """Full coarse matching: dual-softmax confidence + fixed-capacity
     extraction.
@@ -122,14 +123,37 @@ def coarse_match(
     [B, 0, 0] placeholder (callers that need the dense matrix — the dense
     loss path, sinkhorn — must use streaming=False). Mutuality is checked
     on argmax indices instead of max values: mathematically identical,
-    and robust to the different floating-point summation orders."""
+    and robust to the different floating-point summation orders.
+
+    sp_axis: sequence-parallel mesh axis (requires streaming=True and an
+    ambient mesh): the extraction runs row-sharded under shard_map — each
+    device streams only its own row chunks — with exact cross-device LSE /
+    argmax merges (core/spmd.py design notes)."""
     if streaming:
         from geoformer_tpu.ops.fused_loss import streaming_match_extract
 
         b, l0, _ = feat_c0.shape
-        row_best, j_ids, col_arg, conf00 = jax.lax.stop_gradient(
-            streaming_match_extract(feat_c0, feat_c1, temperature, mask0,
-                                    mask1))
+        if sp_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            l1 = feat_c1.shape[1]
+            # Uniform specs need concrete mask arrays; all-ones masks are
+            # mathematically identical to None in the extraction.
+            m0 = jnp.ones((b, l0), bool) if mask0 is None \
+                else mask0.reshape(b, l0)
+            m1 = jnp.ones((b, l1), bool) if mask1 is None \
+                else mask1.reshape(b, l1)
+            extracted = jax.shard_map(
+                lambda f0, f1, a, bm: streaming_match_extract(
+                    f0, f1, temperature, a, bm, axis_name=sp_axis),
+                in_specs=(P(None, sp_axis, None), P(None, sp_axis, None),
+                          P(None, sp_axis), P(None, sp_axis)),
+                out_specs=(P(None, sp_axis), P(None, sp_axis), P(), P()),
+            )(feat_c0, feat_c1, m0, m1)
+        else:
+            extracted = streaming_match_extract(feat_c0, feat_c1,
+                                                temperature, mask0, mask1)
+        row_best, j_ids, col_arg, conf00 = jax.lax.stop_gradient(extracted)
         mutual = jnp.take_along_axis(col_arg, j_ids, axis=1) == \
             jnp.arange(l0, dtype=jnp.int32)[None, :]
         ids = _finalize_ids(row_best, j_ids, mutual, conf00,

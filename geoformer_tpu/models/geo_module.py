@@ -117,6 +117,9 @@ class GeoModule(nn.Module):
     cfg: GeoModuleConfig
     d_model: int
     dtype: jnp.dtype = jnp.float32
+    # Sequence-parallel mesh axis (core/spmd.py): token dims stay sharded;
+    # the capacity-bounded KV sets and RANSAC state are replicated.
+    seq_axis: "str | None" = None
 
     @nn.compact
     def __call__(self, cnn_feat0, cnn_feat1, matches: CoarseMatches,
@@ -143,8 +146,14 @@ class GeoModule(nn.Module):
             _build_geo_state(matches, ransac_key, (h0, w0), (h1, w1), scale,
                              cfg))
 
-        feat0 = add_position_encoding(cnn_feat0).reshape(b, h0 * w0, c)
-        feat1 = add_position_encoding(cnn_feat1).reshape(b, h1 * w1, c)
+        from geoformer_tpu.core.spmd import shard_dim
+
+        feat0 = shard_dim(
+            add_position_encoding(cnn_feat0).reshape(b, h0 * w0, c),
+            self.seq_axis)
+        feat1 = shard_dim(
+            add_position_encoding(cnn_feat1).reshape(b, h1 * w1, c),
+            self.seq_axis)
 
         # Fixed-capacity compaction of the inlier KV sets (indices are
         # layer-invariant; features are re-gathered every layer).
@@ -169,7 +178,11 @@ class GeoModule(nn.Module):
         # kv-tiled online-softmax forward by VMEM footprint (f32 at S=4800
         # needs 19.1 MB whole-KV vs the 16 MB core limit), so any dtype and
         # resolution compiles.
-        use_box = cfg.use_pallas and jax.default_backend() == "tpu"
+        # The Pallas box kernel is a single-device custom call; under
+        # sequence parallelism the gather-based path partitions cleanly
+        # (queries and their windows shard together), so use that instead.
+        use_box = (cfg.use_pallas and jax.default_backend() == "tpu"
+                   and self.seq_axis is None)
         r = cfg.window_size // 2
         if use_box:
             def centers_of(Hm, hw_src, hw_dst):
@@ -229,5 +242,7 @@ class GeoModule(nn.Module):
                 feat1 = jnp.where(sel, out1, feat1)
             else:
                 raise KeyError(name)
+            feat0 = shard_dim(feat0, self.seq_axis)
+            feat1 = shard_dim(feat1, self.seq_axis)
 
         return feat0, feat1, state

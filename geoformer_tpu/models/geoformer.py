@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from geoformer_tpu.config import GeoFormerConfig
+from geoformer_tpu.core.spmd import shard_dim
 from geoformer_tpu.models.backbone import build_backbone
 from geoformer_tpu.models.coarse_matching import CoarseMatches, coarse_match
 from geoformer_tpu.models.fine import (
@@ -82,20 +83,30 @@ class GeoFormer(nn.Module):
             (cfg.coarse_scale, cfg.fine_scale), \
             (cfg.backbone.resolution, cfg.coarse_scale, cfg.fine_scale)
         backbone = build_backbone(cfg.backbone, dtype=dtype, name="backbone")
+        sp = cfg.seq_axis  # sequence-parallel mesh axis (None = replicated)
         feats_c, feats_f = backbone(
-            jnp.concatenate([image0, image1], axis=0), train=train)
+            shard_dim(jnp.concatenate([image0, image1], axis=0), sp),
+            train=train)
+        # Under sequence parallelism the backbone partitions spatially (H);
+        # GSPMD inserts the conv halo exchanges.
+        feats_c, feats_f = shard_dim(feats_c, sp), shard_dim(feats_f, sp)
         cnn_c0, cnn_c1 = feats_c[:b], feats_c[b:]          # [B, h/8, w/8, 256]
         feat_f0, feat_f1 = feats_f[:b], feats_f[b:]        # [B, h/2, w/2, 128]
 
         # 2. Positional encoding + coarse transformer over flat tokens.
-        f0 = add_position_encoding(cnn_c0).reshape(b, h0c * w0c, -1)
-        f1 = add_position_encoding(cnn_c1).reshape(b, h1c * w1c, -1)
+        f0 = shard_dim(add_position_encoding(cnn_c0).reshape(
+            b, h0c * w0c, -1), sp)
+        f1 = shard_dim(add_position_encoding(cnn_c1).reshape(
+            b, h1c * w1c, -1), sp)
         m0 = mask0.reshape(b, -1) if mask0 is not None else None
         m1 = mask1.reshape(b, -1) if mask1 is not None else None
         coarse_tf = LocalFeatureTransformer(
             cfg.coarse.d_model, cfg.coarse.nhead, cfg.coarse.layer_names,
             cfg.coarse.attention, dtype=dtype, name="loftr_coarse")
+        # Token-sharded coarse transformer: linear attention's KV / Ksum
+        # contractions over the sharded token dim become one psum each.
         f0, f1 = coarse_tf(f0, f1, m0, m1)
+        f0, f1 = shard_dim(f0, sp), shard_dim(f1, sp)
 
         force_one = cfg.match.force_one_match or train
         if return_conf is None:
@@ -106,6 +117,10 @@ class GeoFormer(nn.Module):
         # Streamed extraction never builds the [B, L, L] conf matrix at all —
         # usable whenever the dense matrix isn't requested downstream.
         streaming = cfg.match.streaming_extract and not return_conf
+        if sp is not None:
+            assert streaming and cfg.match.match_type != "sinkhorn", (
+                "seq_axis requires streaming extraction (no dense [L, L] "
+                "matrices exist to shard)")
 
         if cfg.match.match_type == "sinkhorn":
             # optional OT matcher with learnable dustbin score
@@ -133,16 +148,17 @@ class GeoFormer(nn.Module):
             matcher = lambda a, bfeat: coarse_match(  # noqa: E731
                 a, bfeat, cfg.match.thr, cfg.match.dsmax_temperature,
                 cfg.match.max_matches, m0, m1, force_one=force_one,
-                streaming=streaming)
+                streaming=streaming, sp_axis=sp)
 
         # 3. First coarse matching pass.
         matches1 = matcher(f0, f1)
 
         # 4. GAM on the pre-transformer CNN features (full_model.py:87-89).
         geo = GeoModule(cfg.geo, cfg.coarse.d_model, dtype=dtype,
-                        name="geo_module")
+                        seq_axis=sp, name="geo_module")
         g0, g1, geo_state = geo(cnn_c0, cnn_c1, matches1, cfg.coarse_scale,
                                 self.make_rng("ransac"))
+        g0, g1 = shard_dim(g0, sp), shard_dim(g1, sp)
 
         # 5. Second coarse matching pass on the geometrized features.
         matches2 = matcher(g0, g1)

@@ -76,11 +76,17 @@ def _tile(f0c: jax.Array, f1: jax.Array, rv: jax.Array,
 def sim_lse(feat0: jax.Array, feat1: jax.Array, temperature: float,
             mask0: Optional[jax.Array] = None,
             mask1: Optional[jax.Array] = None,
-            chunk: int = 600) -> Tuple[jax.Array, jax.Array]:
+            chunk: int = 600,
+            axis_name: Optional[str] = None) -> Tuple[jax.Array, jax.Array]:
     """Row/col logsumexp of the masked similarity matrix, streamed.
 
     Returns (r [B, L], c [B, S]) in f32. Invalid rows/cols see the -1e9
     plateau, matching the dense dual_softmax exactly.
+
+    axis_name: when set (inside shard_map, sequence-parallel path), feat0
+    holds only this device's rows while feat1/mask1 are global; the column
+    LSE is merged across the mesh axis with an online-logsumexp psum, and
+    the returned r covers only the local rows.
     """
     b, l, _ = feat0.shape
     s = feat1.shape[1]
@@ -103,8 +109,18 @@ def sim_lse(feat0: jax.Array, feat1: jax.Array, temperature: float,
 
     init = (jnp.full((b, s), _NEG_INF, jnp.float32),
             jnp.zeros((b, s), jnp.float32))
+    if axis_name is not None:
+        # shard_map vma typing: the carry becomes device-varying in the body.
+        init = jax.tree.map(
+            lambda x: lax.pcast(x, (axis_name,), to="varying"), init)
     (m, acc), r_ch = lax.scan(jax.checkpoint(body), init, (f0_ch, rv_ch))
     r = r_ch.transpose(1, 0, 2).reshape(b, -1)[:, :l]
+    if axis_name is not None:
+        # Cross-device online-LSE merge of the column statistics: the local
+        # (m, acc) pairs summarize this device's row shard only.
+        gm = lax.pmax(m, axis_name)
+        acc = lax.psum(acc * jnp.exp(m - gm), axis_name)
+        m = gm
     c = m + jnp.log(jnp.maximum(acc, 1e-30))
     return r, c
 
@@ -113,7 +129,8 @@ def streaming_match_extract(feat0: jax.Array, feat1: jax.Array,
                             temperature: float,
                             mask0: Optional[jax.Array] = None,
                             mask1: Optional[jax.Array] = None,
-                            chunk: int = 600):
+                            chunk: int = 600,
+                            axis_name: Optional[str] = None):
     """Row/col nearest-neighbour statistics of the dual-softmax confidence,
     streamed — the extraction-side complement of streaming_coarse_loss.
 
@@ -129,11 +146,27 @@ def streaming_match_extract(feat0: jax.Array, feat1: jax.Array,
         j_ids:    [B, L] int32 argmax column per row.
         col_arg:  [B, S] int32 argmax row per column.
         conf00:   [B] f32 confidence at cell pair (0, 0) (force-one support).
+
+    axis_name: sequence-parallel mode (inside shard_map): feat0/mask0 hold
+    only this device's contiguous row shard, feat1/mask1 this device's
+    column shard. feat1 is all-gathered on entry (tokens x C — megabytes,
+    not the [L, S] matrix), row stats stay shard-local with *global* row
+    indices, and column max/argmax are merged across the mesh axis with the
+    same first-wins tie rule as the chunk scan. j_ids/row_best come back
+    for the local rows; col_arg/conf00 are replicated.
     """
     b, l, _ = feat0.shape
+    row_off = jnp.int32(0)
+    if axis_name is not None:
+        row_off = (lax.axis_index(axis_name) * l).astype(jnp.int32)
+        feat1 = lax.all_gather(feat1, axis_name, axis=1, tiled=True)
+        if mask1 is not None:
+            mask1 = lax.all_gather(mask1.reshape(b, -1), axis_name, axis=1,
+                                   tiled=True)
     s = feat1.shape[1]
     chunk = max(1, min(chunk, l))
-    r, c = sim_lse(feat0, feat1, temperature, mask0, mask1, chunk)
+    r, c = sim_lse(feat0, feat1, temperature, mask0, mask1, chunk,
+                   axis_name=axis_name)
     f0, f1, row_valid, col_valid, pad = _prep(
         feat0, feat1, temperature, mask0, mask1, chunk)
     n = f0.shape[1] // chunk
@@ -141,7 +174,7 @@ def streaming_match_extract(feat0: jax.Array, feat1: jax.Array,
     rv_ch = row_valid.reshape(b, n, chunk).transpose(1, 0, 2)
     r_ch = jnp.pad(r, ((0, 0), (0, pad))).reshape(b, n, chunk) \
         .transpose(1, 0, 2)
-    starts = jnp.arange(n, dtype=jnp.int32) * chunk
+    starts = row_off + jnp.arange(n, dtype=jnp.int32) * chunk
 
     def body(carry, xs):
         col_m, col_a = carry                     # running col max/arg [B, S]
@@ -160,8 +193,18 @@ def streaming_match_extract(feat0: jax.Array, feat1: jax.Array,
 
     init = (jnp.full((b, s), -jnp.inf, jnp.float32),
             jnp.zeros((b, s), jnp.int32))
-    (_, col_arg), (rb_ch, a_ch) = lax.scan(
+    if axis_name is not None:
+        init = jax.tree.map(
+            lambda x: lax.pcast(x, (axis_name,), to="varying"), init)
+    (col_m, col_arg), (rb_ch, a_ch) = lax.scan(
         body, init, (f0_ch, rv_ch, r_ch, starts))
+    if axis_name is not None:
+        # Column argmax across row shards. The chunk scan keeps the FIRST
+        # (lowest row index) maximizer on value ties; across devices the
+        # same rule is min(global row index) among the max achievers.
+        gm = lax.pmax(col_m, axis_name)
+        cand = jnp.where(col_m >= gm, col_arg, jnp.iinfo(jnp.int32).max)
+        col_arg = lax.pmin(cand, axis_name)
     row_best = rb_ch.transpose(1, 0, 2).reshape(b, -1)[:, :l]
     j_ids = a_ch.transpose(1, 0, 2).reshape(b, -1)[:, :l]
 
@@ -172,6 +215,10 @@ def streaming_match_extract(feat0: jax.Array, feat1: jax.Array,
             ok00 = ok00 & col_valid[:, 0]
         sim00 = jnp.where(ok00, sim00, _NEG_INF)
     conf00 = jnp.exp(2.0 * sim00 - r[:, 0] - c[:, 0])
+    if axis_name is not None:
+        # Only the shard owning global row 0 holds the true (0, 0) cell.
+        conf00 = lax.psum(
+            jnp.where(lax.axis_index(axis_name) == 0, conf00, 0.0), axis_name)
     return row_best, j_ids, col_arg, conf00
 
 
