@@ -140,6 +140,17 @@ def main():
             (False, True, jnp.float32, "GAM fwd+bwd (f32)"),
             (True, True, jnp.bfloat16, "GAM fwd+bwd (bf16+pallas)"),
         ]
+    # RANSAC isolation: the geometric fit alone (stop-gradient, so fwd-only
+    # in the train step). If this dominates the GAM stage, the lever is the
+    # hypothesis loop shape, not the attention kernels.
+    from geoformer_tpu.models.geo_module import _build_geo_state
+
+    gcfg = GeoModuleConfig(ransac_iters=256, max_inliers=512)
+    rfit = jax.jit(lambda mm, k: _build_geo_state(
+        mm, k, (hc, wc), (hc, wc), 8, gcfg).H)
+    timeit(rfit, m, jax.random.key(0),
+           label="RANSAC fit alone (256 iters, fwd)")
+
     for use_pallas, use_self, dt_, lbl in gam_rows:
         geo = GeoModule(GeoModuleConfig(ransac_iters=256, max_inliers=512,
                                         use_pallas=use_pallas,
