@@ -154,7 +154,18 @@ def cmd_infer(args):
     im0, sc0 = load_gray(args.image0, args.imsize)
     im1, sc1 = load_gray(args.image1, args.imsize)
     cfg, params = _model_and_params(args)
-    matcher = BatchedMatcher(cfg, params, batch_size=1)
+    seq_mesh = None
+    if args.seq_shard > 1:
+        # sequence-parallel: shard this one pair's tokens over the mesh
+        # (high-resolution path, docs/SCALING.md)
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        assert args.seq_shard <= len(devs), \
+            f"--seq-shard {args.seq_shard} > {len(devs)} devices"
+        seq_mesh = Mesh(np.array(devs[:args.seq_shard]), ("seq",))
+    matcher = BatchedMatcher(cfg, params, batch_size=1, seq_mesh=seq_mesh)
     t0 = time.time()
     (mk0, mk1, conf), = matcher.match_batch([im0], [im1])
     print(f"{len(mk0)} matches in {time.time() - t0:.2f}s")
@@ -378,6 +389,9 @@ def main():
     i.add_argument("image1")
     i.add_argument("--out", default=None)
     i.add_argument("--draw", default=None, help="write a match figure (png)")
+    i.add_argument("--seq-shard", type=int, default=0,
+                   help="shard the pair's tokens over this many devices "
+                        "(sequence-parallel high-res matching)")
     common(i)
     i.set_defaults(fn=cmd_infer)
 

@@ -98,10 +98,19 @@ class BatchedMatcher:
     chip matches ``batch_size / n_devices`` pairs per call — the same
     `P(axis)` pattern as training (train/trainer.shard_train_step), so a
     pod slice speeds up benchmark sweeps with no driver changes.
+
+    Pass ``seq_mesh`` instead to run sequence-parallel: each PAIR is
+    sharded over the mesh token dim (GeoFormerConfig.seq_axis,
+    docs/SCALING.md) — the high-resolution path, for images too large to
+    match on one chip. Mutually exclusive with ``mesh``.
     """
 
     def __init__(self, config: GeoFormerConfig, params, batch_size: int = 4,
-                 mesh=None):
+                 mesh=None, seq_mesh=None):
+        self.seq_mesh = seq_mesh
+        if seq_mesh is not None:
+            assert mesh is None, "mesh and seq_mesh are mutually exclusive"
+            config = config.replace(seq_axis=seq_mesh.axis_names[0])
         self.model = GeoFormer(config)
         self.params = params
         self.batch_size = batch_size
@@ -124,7 +133,16 @@ class BatchedMatcher:
                     params, i0, i1, mask0=m0, mask1=m1,
                     rngs={"ransac": jax.random.key(0)})
 
-            if self.mesh is None:
+            if self.seq_mesh is not None:
+                base = jax.jit(fwd)
+
+                def fwd_sp(*a):
+                    # the ambient mesh must be set while tracing AND calling
+                    with jax.sharding.set_mesh(self.seq_mesh):
+                        return base(*a)
+
+                fwd = fwd_sp
+            elif self.mesh is None:
                 fwd = jax.jit(fwd)
             else:
                 fwd = jax.jit(

@@ -182,3 +182,35 @@ def test_batched_matcher_mesh_matches_single_device(tiny_model):
         np.testing.assert_allclose(a0, b0, atol=1e-4)
         np.testing.assert_allclose(a1, b1, atol=1e-4)
         np.testing.assert_allclose(ac, bc, atol=1e-4)
+
+
+def test_batched_matcher_seq_mesh_matches_single_device(tiny_model):
+    """Sequence-parallel eval: a seq_mesh matcher (one pair's tokens sharded
+    over all 8 devices) returns the same matches as the replicated path."""
+    from jax.sharding import Mesh
+
+    from geoformer_tpu.config import FineMatchConfig
+
+    cfg, params = tiny_model
+    # zero fine threshold: a random-init model's fine confidences are flat
+    # (max ~0.007), so the default 0.1 gate would empty both paths and make
+    # the overlap statistic vacuous
+    cfg = cfg.replace(fine_match=FineMatchConfig(thr=0.0))
+    rng = np.random.default_rng(4)
+    # self-matching: confident diagonal coarse matches even at random init
+    img0 = rng.random((96, 128)).astype(np.float32)
+    img1 = img0.copy()
+
+    plain = BatchedMatcher(cfg, params, batch_size=1)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("seq",))
+    sp = BatchedMatcher(cfg, params, batch_size=1, seq_mesh=mesh)
+
+    (a0, a1, ac), = plain.match_batch([img0], [img1])
+    (b0, b1, bc), = sp.match_batch([img0], [img1])
+    # identical match decisions modulo float-tie jitter: compare the common
+    # coordinate sets, requiring near-total overlap
+    sa = {tuple(p) for p in np.round(a0, 2).tolist()}
+    sb = {tuple(p) for p in np.round(b0, 2).tolist()}
+    assert sa | sb, "no matches on either path — test is vacuous"
+    assert len(sa & sb) / len(sa | sb) >= 0.9, \
+        (len(sa), len(sb), len(sa & sb))
