@@ -66,6 +66,13 @@ def ref_modules():
     _stub("kornia.geometry.conversions", convert_points_to_homogeneous=None)
     _stub("kornia.utils", create_meshgrid=None)
     _stub("kornia.utils.grid", create_meshgrid=None)
+    # imgaug/torchvision/albumentations: imported at utils/homography.py
+    # module top but used only by the dataset-side Homography class, not
+    # the warp/window helpers the GeoModule needs
+    _stub("imgaug", augmenters=None)
+    _stub("imgaug.augmenters")
+    _stub("torchvision", transforms=None)
+    _stub("albumentations")
     from model.loftr_src.loftr.backbone.resnet_fpn import ResNetFPN_8_2
     from model.loftr_src.loftr.loftr_module.fine_preprocess import (
         FinePreprocess,
@@ -266,3 +273,98 @@ def test_fine_window_pipeline_matches_reference_code(ref_modules):
                                rtol=1e-3)
     np.testing.assert_allclose(np.asarray(t1_j), t1_t.numpy(), atol=1e-3,
                                rtol=1e-3)
+
+
+def test_gam_matches_reference_code(ref_modules, monkeypatch):
+    """GeoModule (the paper's novel module) vs the reference's own code.
+
+    The mid-forward geometric fit is injected identically into both sides
+    (cv2.findHomography patched in the reference, ransac_homography patched
+    here) with an all-inlier mask, so the comparison isolates the
+    geometrized attention itself: membership maps, subset-KV self layers,
+    homography-warped 5x5 window cross layers. H is chosen off cell
+    boundaries so floor(warp/8) is robust to f32 ulp differences.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import geoformer_tpu.models.geo_module as gm_mod
+    from geoformer_tpu.config import GeoModuleConfig
+    from geoformer_tpu.models.coarse_matching import CoarseMatches
+    from geoformer_tpu.utils.torch_convert import _convert_encoder_layer
+
+    import model.geo_module as ref_gm_mod
+
+    torch.manual_seed(7)
+    cfg_ref = {"window_size": 5, "layer_names": ["self", "cross"] * 2,
+               "nhead": 4}
+    gm_t = ref_gm_mod.GeoModule(cfg_ref, 256).eval()
+
+    h, w = 64, 80
+    hc, wc = h // 8, w // 8
+    scale = 8
+    rng = np.random.default_rng(5)
+    cnn0 = (rng.normal(size=(1, 256, hc, wc)) * 0.5).astype(np.float32)
+    cnn1 = (rng.normal(size=(1, 256, hc, wc)) * 0.5).astype(np.float32)
+
+    # fractional translation + slight scale/skew: warped grid points stay
+    # well inside cells (no floor-boundary hazard)
+    H_fix = np.array([[1.01, 0.002, 13.3],
+                      [-0.003, 0.99, 5.7],
+                      [1e-5, -2e-5, 1.0]])
+
+    m = 20
+    cells0 = rng.choice(hc * wc, size=m, replace=False).astype(np.int64)
+    cells1 = rng.choice(hc * wc, size=m, replace=False).astype(np.int64)
+    kp0 = np.stack([cells0 % wc, cells0 // wc], -1) * scale
+    kp1 = np.stack([cells1 % wc, cells1 // wc], -1) * scale
+
+    mask_all = np.ones((m, 1), np.uint8)
+    monkeypatch.setattr(ref_gm_mod.cv2, "findHomography",
+                        lambda *a, **k: (H_fix.copy(), mask_all))
+
+    batch = {
+        "mkpts0_c": torch.from_numpy(kp0).float(),
+        "mkpts1_c": torch.from_numpy(kp1).float(),
+        "m_bids": torch.zeros(m, dtype=torch.long),
+        "image0": torch.zeros(1, 1, h, w),
+        "image1": torch.zeros(1, 1, h, w),
+        "hw0_i": torch.tensor([h, w]),
+        "hw0_c": torch.tensor([hc, wc]),
+    }
+    with torch.no_grad():
+        g0_t, g1_t = gm_t(torch.from_numpy(cnn0), torch.from_numpy(cnn1),
+                          batch)
+
+    # converted geo-transformer weights
+    sd = {k: v.detach().numpy() for k, v in gm_t.state_dict().items()}
+    params = {}
+    for i in range(4):
+        _convert_encoder_layer(params, sd, f"des_transformer.layers.{i}",
+                               (f"layer_{i}",))
+
+    def fake_ransac(key, p0, p1, v, **kw):
+        return {"H": jnp.asarray(H_fix, jnp.float32), "inliers": v,
+                "num_inliers": v.sum(), "ok": jnp.asarray(True)}
+
+    monkeypatch.setattr(gm_mod, "ransac_homography", fake_ransac)
+
+    gm_j = gm_mod.GeoModule(GeoModuleConfig(max_inliers=m), 256)
+    matches = CoarseMatches(
+        conf=jnp.zeros((1, hc * wc, hc * wc)),
+        i_ids=jnp.asarray(cells0, jnp.int32)[None],
+        j_ids=jnp.asarray(cells1, jnp.int32)[None],
+        valid=jnp.ones((1, m), bool),
+        mconf=jnp.ones((1, m)))
+    g0_j, g1_j, state = gm_j.apply(
+        {"params": params},
+        jnp.asarray(cnn0.transpose(0, 2, 3, 1)),
+        jnp.asarray(cnn1.transpose(0, 2, 3, 1)),
+        matches, scale, jax.random.key(0))
+
+    assert bool(state.has_H[0])
+    assert int(state.num_inliers[0]) == m
+    np.testing.assert_allclose(np.asarray(g0_j[0]), g0_t[0].numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g1_j[0]), g1_t[0].numpy(),
+                               atol=2e-4, rtol=1e-3)
