@@ -368,3 +368,75 @@ def test_gam_matches_reference_code(ref_modules, monkeypatch):
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(g1_j[0]), g1_t[0].numpy(),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_fine_decode_matches_reference_code(ref_modules):
+    """FineMatching2's threshold + mutual-NN + keep-global-argmax decode vs
+    this framework's argmax + gate reduction (models/fine.fine_matching) on
+    the same confidence matrices — upgrading the in-code equivalence
+    argument to a cross-implementation check, including final pixel-frame
+    coordinates."""
+    import jax.numpy as jnp
+
+    from model.fine_matching2 import FineMatching2
+
+    from geoformer_tpu.models.coarse_matching import CoarseMatches
+    from geoformer_tpu.models.fine import fine_matching
+
+    h, w = 64, 80
+    hc, wc = h // 8, w // 8
+    m, W = 8, 5
+    WW, C = W * W, 128
+    rng = np.random.default_rng(9)
+    # planted structure: half the windows have a confident mutual peak,
+    # half are pure noise (their global argmax fails the threshold) — the
+    # decode's gate must drop exactly those on both sides
+    f0 = rng.normal(size=(m, WW, C)).astype(np.float32)
+    f1 = rng.normal(size=(m, WW, C)).astype(np.float32) * 0.2
+    perm = rng.permutation(WW)
+    for i in range(m // 2):
+        f1[i] = f0[i][perm] + 0.05 * f1[i]
+
+    cells0 = rng.choice(hc * wc, size=m, replace=False).astype(np.int64)
+    cells1 = rng.choice(hc * wc, size=m, replace=False).astype(np.int64)
+    kp0 = np.stack([cells0 % wc, cells0 // wc], -1) * 8.0
+    kp1 = np.stack([cells1 % wc, cells1 // wc], -1) * 8.0
+
+    fm = FineMatching2(temperature=0.1, thr=0.1)
+    data = {
+        "mkpts0_c": torch.from_numpy(kp0).float(),
+        "mkpts1_c": torch.from_numpy(kp1).float(),
+        "b_ids": torch.zeros(m, dtype=torch.long),
+        "image0": torch.zeros(1, 1, h, w),
+        "hw0_i": torch.tensor([h, w]),
+        "hw0_c": torch.tensor([hc, wc]),
+        "hw0_f": torch.tensor([h // 2, w // 2]),
+    }
+    with torch.no_grad():
+        fm(torch.from_numpy(f0), torch.from_numpy(f1), data)
+    ref_kp0 = data["mkpts0_f"].numpy()
+    ref_kp1 = data["mkpts1_f"].numpy()
+    ref_conf = data["mconf"].numpy()
+
+    from geoformer_tpu.ops.matching import dual_softmax
+
+    conf = dual_softmax(jnp.asarray(f0), jnp.asarray(f1), 0.1)
+    matches = CoarseMatches(
+        conf=jnp.zeros((1, hc * wc, hc * wc)),
+        i_ids=jnp.asarray(cells0, jnp.int32)[None],
+        j_ids=jnp.asarray(cells1, jnp.int32)[None],
+        valid=jnp.ones((1, m), bool),
+        mconf=jnp.ones((1, m)))
+    out = fine_matching(conf.reshape(1, m, WW, WW), matches, wc, wc, 8, 2,
+                        W, 0.1)
+
+    v = np.asarray(out.valid[0])
+    # same windows survive the gate (the noise windows must not)
+    assert v.sum() == len(ref_conf)
+    assert v[: m // 2].all() and not v[m // 2:].any()
+    np.testing.assert_allclose(np.asarray(out.mkpts0[0])[v], ref_kp0,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.mkpts1[0])[v], ref_kp1,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.mconf[0])[v], ref_conf,
+                               rtol=1e-5, atol=1e-6)
