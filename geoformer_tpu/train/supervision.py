@@ -110,8 +110,7 @@ def spvs_coarse_depth(
     going through depth lift + relative pose (geometry/depth.warp_kpts_depth)
     in ORIGINAL image coordinates — ``scale0``/``scale1`` [B, 2] are the
     (orig/resized) factors from the resize step, matching the reference's
-    ``scale0 = scale * data['scale0']``. Invalid warps are pushed far out of
-    bounds so they can never win a cell.
+    ``scale0 = scale * data['scale0']``.
     """
     Himg, Wimg = image_hw
     h0 = h1 = Himg // coarse_scale
@@ -130,10 +129,16 @@ def spvs_coarse_depth(
     if mask1 is not None:
         grid1 = grid1 * mask1.reshape(b, l1, 1)
 
-    v0, w_pt0 = warp_kpts_depth(grid0 * s0, depth0, depth1, T_0to1, K0, K1)
-    v1, w_pt1 = warp_kpts_depth(grid1 * s1, depth1, depth0, T_1to0, K1, K0)
-    w_pt0 = jnp.where(v0[..., None], w_pt0, -1e6) / (coarse_scale * s1)
-    w_pt1 = jnp.where(v1[..., None], w_pt1, -1e6) / (coarse_scale * s0)
+    # NOTE: the warp's validity mask is deliberately NOT applied — the
+    # reference uses the raw warped points (supervision.py:60-67, "no depth
+    # consistency check, since it leads to worse results experimentally"),
+    # so points projecting within half a cell outside the border still
+    # supervise border cells. Cross-tested against the reference's own code
+    # (tests/test_reference_parity.py::test_spvs_coarse_depth_*).
+    _, w_pt0 = warp_kpts_depth(grid0 * s0, depth0, depth1, T_0to1, K0, K1)
+    _, w_pt1 = warp_kpts_depth(grid1 * s1, depth1, depth0, T_1to0, K1, K0)
+    w_pt0 = w_pt0 / (coarse_scale * s1)
+    w_pt1 = w_pt1 / (coarse_scale * s0)
     return _coarse_gt_from_warps(w_pt0, w_pt1, (h0, w0), (h1, w1))
 
 
@@ -169,10 +174,11 @@ def spvs_coarse_depth_sparse(
     if mask1 is not None:
         grid1 = grid1 * mask1.reshape(b, l1, 1)
 
-    v0, w_pt0 = warp_kpts_depth(grid0 * s0, depth0, depth1, T_0to1, K0, K1)
-    v1, w_pt1 = warp_kpts_depth(grid1 * s1, depth1, depth0, T_1to0, K1, K0)
-    w_pt0 = jnp.where(v0[..., None], w_pt0, -1e6) / (coarse_scale * s1)
-    w_pt1 = jnp.where(v1[..., None], w_pt1, -1e6) / (coarse_scale * s0)
+    # raw warped points, no validity masking — see spvs_coarse_depth
+    _, w_pt0 = warp_kpts_depth(grid0 * s0, depth0, depth1, T_0to1, K0, K1)
+    _, w_pt1 = warp_kpts_depth(grid1 * s1, depth1, depth0, T_1to0, K1, K0)
+    w_pt0 = w_pt0 / (coarse_scale * s1)
+    w_pt1 = w_pt1 / (coarse_scale * s0)
     return sparse_coarse_gt_from_warps(w_pt0, w_pt1, (h0, w0), (h1, w1))
 
 

@@ -64,8 +64,25 @@ def ref_modules():
     _stub("kornia.geometry.subpix", dsnt=None)
     _stub("kornia.geometry.epipolar", numeric=None)
     _stub("kornia.geometry.conversions", convert_points_to_homogeneous=None)
-    _stub("kornia.utils", create_meshgrid=None)
-    _stub("kornia.utils.grid", create_meshgrid=None)
+    # real create_meshgrid: loftr/utils/supervision.py uses it for the GT
+    # grids (everywhere else it is dead code)
+    def _create_meshgrid(h, w, normalized_coordinates=True, device=None,
+                         dtype=None):
+        assert not normalized_coordinates  # supervision always passes False
+        ys, xs = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                torch.arange(w, dtype=torch.float32))
+        return torch.stack([xs, ys], -1)[None]
+
+    _stub("kornia.utils", create_meshgrid=_create_meshgrid)
+    _stub("kornia.utils.grid", create_meshgrid=_create_meshgrid)
+
+    class _Logger:
+        def warning(self, *a, **k):
+            pass
+
+        info = debug = error = warning
+
+    _stub("loguru", logger=_Logger())
     # imgaug/torchvision/albumentations: imported at utils/homography.py
     # module top but used only by the dataset-side Homography class, not
     # the warp/window helpers the GeoModule needs
@@ -440,3 +457,358 @@ def test_fine_decode_matches_reference_code(ref_modules):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.mconf[0])[v], ref_conf,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_coarse_extraction_matches_reference_code(ref_modules):
+    """Coarse match extraction (threshold + mutual-NN) vs the reference's
+    CoarseMatching.get_coarse_match on a shared confidence matrix, with the
+    GeoFormer constructor's border_rm=0 override (full_model.py:31)."""
+    import jax.numpy as jnp
+
+    from geoformer_tpu.models.coarse_matching import extract_matches
+
+    h, w = 64, 80
+    hc, wc = h // 8, w // 8
+    L = hc * wc
+    rng = np.random.default_rng(11)
+    # planted permutation: ~L mutual peaks, plus noise rows below threshold
+    f0 = rng.normal(size=(2, L, 256)).astype(np.float32)
+    f1 = np.empty_like(f0)
+    perms = []
+    for b in range(2):
+        p = rng.permutation(L)
+        perms.append(p)
+        f1[b] = f0[b][p] + 0.3 * rng.normal(size=(L, 256)).astype(np.float32)
+
+    cm = ref_modules["CoarseMatching"](dict(_MATCH_CFG, thr=0.1,
+                                            border_rm=0))
+    data = {"hw0_i": torch.tensor([h, w]), "hw1_i": torch.tensor([h, w]),
+            "hw0_c": torch.tensor([hc, wc]), "hw1_c": torch.tensor([hc, wc])}
+    with torch.no_grad():
+        cm(torch.from_numpy(f0), torch.from_numpy(f1), data)
+
+    ref_set = {(int(b), int(i), int(j))
+               for b, i, j in zip(data["b_ids"], data["i_ids"],
+                                  data["j_ids"])}
+    assert len(ref_set) > L // 2  # the planted peaks actually matched
+
+    from geoformer_tpu.ops.matching import dual_softmax
+
+    conf = dual_softmax(jnp.asarray(f0), jnp.asarray(f1), 0.1)
+    np.testing.assert_allclose(np.asarray(conf),
+                               data["conf_matrix"].numpy(), atol=2e-5)
+    out = extract_matches(conf, 0.1, capacity=-1)
+    got_set = set()
+    vv = np.asarray(out.valid)
+    ii = np.asarray(out.i_ids)
+    jj = np.asarray(out.j_ids)
+    for b in range(2):
+        for i in np.where(vv[b])[0]:
+            got_set.add((b, int(ii[b, i]), int(jj[b, i])))
+    assert got_set == ref_set
+
+    # confidences at the matched cells agree
+    mref = {(int(b), int(i)): float(c)
+            for b, i, c in zip(data["b_ids"], data["i_ids"], data["mconf"])}
+    mc = np.asarray(out.mconf)
+    for b in range(2):
+        for s in np.where(vv[b])[0]:
+            np.testing.assert_allclose(mc[b, s], mref[(b, int(ii[b, s]))],
+                                       rtol=1e-4, atol=1e-6)
+
+
+def _mild_homography(rng):
+    """Invertible near-identity homography with fractional translation (no
+    cell-boundary rounding hazards)."""
+    return np.array([[1.02, 0.015, 9.3],
+                     [-0.01, 0.985, -4.6],
+                     [2e-5, -1.5e-5, 1.0]])
+
+
+def test_spvs_coarse_homography_matches_reference(ref_modules):
+    """Coarse GT labels (bidirectional warp + cycle consistency) vs the
+    reference's spvs_coarse homography branch, with and without padding
+    masks."""
+    import jax.numpy as jnp
+
+    from model.loftr_src.loftr.utils.supervision import spvs_coarse
+
+    from geoformer_tpu.train.supervision import spvs_coarse_homography
+
+    h, w = 64, 80
+    hc, wc = h // 8, w // 8
+    rng = np.random.default_rng(13)
+    H01 = _mild_homography(rng)
+    H10 = np.linalg.inv(H01)
+    config = {"LOFTR": {"RESOLUTION": (8, 2)}}
+
+    for use_mask in (False, True):
+        data = {
+            "image0": torch.zeros(1, 1, h, w),
+            "image1": torch.zeros(1, 1, h, w),
+            "H_0to1": torch.from_numpy(H01[None]).float(),
+            "H_1to0": torch.from_numpy(H10[None]).float(),
+            "pair_names": ["synthetic"],
+        }
+        m0 = m1 = None
+        if use_mask:
+            m0 = np.ones((1, hc, wc), np.float32)
+            m0[:, :, -2:] = 0
+            m1 = np.ones((1, hc, wc), np.float32)
+            m1[:, -1:, :] = 0
+            data["mask0"] = torch.from_numpy(m0) > 0
+            data["mask1"] = torch.from_numpy(m1) > 0
+        with torch.no_grad():
+            spvs_coarse(data, config)
+        ref_gt = data["conf_matrix_gt"].numpy()
+        assert ref_gt.sum() > 10  # non-degenerate
+
+        got = spvs_coarse_homography(
+            jnp.asarray(H01[None], jnp.float32),
+            jnp.asarray(H10[None], jnp.float32), (h, w), 8,
+            None if m0 is None else jnp.asarray(m0),
+            None if m1 is None else jnp.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(got), ref_gt,
+                                      err_msg=f"mask={use_mask}")
+
+
+def test_spvs_coarse_depth_matches_reference(ref_modules):
+    """Coarse GT labels for the depth-supervised branch (lift -> relative
+    pose -> project) vs the reference's spvs_coarse."""
+    import jax.numpy as jnp
+
+    from model.loftr_src.loftr.utils.supervision import spvs_coarse
+
+    from geoformer_tpu.train.supervision import spvs_coarse_depth
+
+    h, w = 64, 80
+    rng = np.random.default_rng(17)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    depth0 = (5.0 + np.sin(xx / 17.0) + np.cos(yy / 13.0)).astype(np.float32)
+    depth1 = (5.0 + np.cos(xx / 15.0) + np.sin(yy / 11.0)).astype(np.float32)
+    K = np.array([[120.0, 0, 40.0], [0, 120.0, 32.0], [0, 0, 1]], np.float32)
+    # small rotation about y + translation
+    th = 0.03
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    T01 = np.eye(4, dtype=np.float32)
+    T01[:3, :3] = R
+    T01[:3, 3] = [0.21, -0.13, 0.07]
+    T10 = np.linalg.inv(T01)
+
+    data = {
+        "image0": torch.zeros(1, 1, h, w),
+        "image1": torch.zeros(1, 1, h, w),
+        "depth0": torch.from_numpy(depth0[None]),
+        "depth1": torch.from_numpy(depth1[None]),
+        "T_0to1": torch.from_numpy(T01[None]),
+        "T_1to0": torch.from_numpy(T10[None]),
+        "K0": torch.from_numpy(K[None]),
+        "K1": torch.from_numpy(K[None]),
+        "pair_names": ["synthetic"],
+    }
+    with torch.no_grad():
+        spvs_coarse(data, {"LOFTR": {"RESOLUTION": (8, 2)}})
+    ref_gt = data["conf_matrix_gt"].numpy()
+    assert ref_gt.sum() > 10
+
+    got = spvs_coarse_depth(
+        jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
+        jnp.asarray(T01[None]), jnp.asarray(T10[None]),
+        jnp.asarray(K[None]), jnp.asarray(K[None]), (h, w), 8)
+    np.testing.assert_array_equal(np.asarray(got), ref_gt)
+
+
+def test_geo_loss_matches_reference(ref_modules):
+    """GeoLoss (focal sparse/dense, CE, fine BCE, total composition) vs the
+    reference's own loss module on shared confidence/GT tensors."""
+    import jax.numpy as jnp
+
+    from model.loftr_src.losses.loftr_loss import GeoLoss
+
+    from geoformer_tpu.config import LossConfig
+    from geoformer_tpu.train import loss as jloss
+
+    rng = np.random.default_rng(23)
+    L, M, WW = 48, 6, 25
+    conf = 1.0 / (1.0 + np.exp(-rng.normal(size=(1, L, L)))) \
+        .astype(np.float64)
+    conf = conf.astype(np.float32)
+    dect = 1.0 / (1.0 + np.exp(-rng.normal(size=(1, L, L))))
+    dect = dect.astype(np.float32)
+    gt = np.zeros((1, L, L), np.float32)
+    rows = rng.choice(L, size=L // 3, replace=False)
+    gt[0, rows, rng.choice(L, size=L // 3)] = 1.0
+
+    fconf = 1.0 / (1.0 + np.exp(-rng.normal(size=(M, WW, WW))))
+    fconf = fconf.astype(np.float32)
+    fgt = np.zeros((M, WW, WW), np.float32)
+    fgt[np.arange(M), rng.choice(WW, M), rng.choice(WW, M)] = 1.0
+
+    def make_ref(coarse_type, sparse):
+        cfg = {"loftr": {
+            "loss": {"fine_correct_thr": 1.0, "pos_weight": 1.0,
+                     "neg_weight": 1.0, "fine_type": "l2_with_std",
+                     "coarse_type": coarse_type, "focal_alpha": 0.25,
+                     "focal_gamma": 2.0, "coarse_weight": 1.0,
+                     "fine_weight": 1.0},
+            "match_coarse": {"match_type": "dual_softmax",
+                             "sparse_spvs": sparse}}}
+        return GeoLoss(cfg).eval()
+
+    for coarse_type, sparse in (("focal", True), ("focal", False),
+                                ("cross_entropy", False)):
+        ref = make_ref(coarse_type, sparse)
+        with torch.no_grad():
+            want = ref.compute_coarse_loss(torch.from_numpy(conf),
+                                           torch.from_numpy(gt)).item()
+        got = float(jloss.coarse_loss(
+            jnp.asarray(conf), jnp.asarray(gt),
+            LossConfig(coarse_type=coarse_type, sparse_spvs=sparse)))
+        np.testing.assert_allclose(got, want, rtol=1e-5,
+                                   err_msg=f"{coarse_type}/sparse={sparse}")
+
+    # fine BCE + full composition (reference forward semantics)
+    ref = make_ref("focal", True)
+    data = {
+        "conf_matrix": torch.from_numpy(conf),
+        "dect_conf_matrix": torch.from_numpy(dect),
+        "conf_matrix_gt": torch.from_numpy(gt),
+        "fine_matrix": torch.from_numpy(fconf),
+        "conf_matrix_fine_gt": torch.from_numpy(fgt),
+    }
+    with torch.no_grad():
+        ref(data)
+    want_total = float(data["loss"])
+
+    cfg = LossConfig()
+    total, scalars = jloss.geo_loss(
+        jnp.asarray(conf), jnp.asarray(dect), jnp.asarray(gt),
+        jnp.asarray(fconf[None]), jnp.asarray(fgt[None]),
+        jnp.ones((1, M), bool), cfg)
+    np.testing.assert_allclose(float(total), want_total, rtol=1e-5)
+    for k, v in (("loss_c", data["loss_scalars"]["loss_c"]),
+                 ("loss_d", data["loss_scalars"]["loss_d"]),
+                 ("loss_f", data["loss_scalars"]["loss_f"])):
+        np.testing.assert_allclose(float(scalars[k]), float(v), rtol=1e-5,
+                                   err_msg=k)
+
+
+def test_spvs_fine_matches_reference(ref_modules):
+    """Fine window GT labels (spvs_fine2: distance map + keep-global-argmin
+    + the 0<d<=3 quirk) vs the reference, homography and depth branches."""
+    import jax.numpy as jnp
+
+    from model.loftr_src.loftr.utils.supervision import spvs_fine2
+
+    from geoformer_tpu.models.coarse_matching import CoarseMatches
+    from geoformer_tpu.train.supervision import (
+        spvs_fine_depth,
+        spvs_fine_homography,
+    )
+
+    h, w = 64, 80
+    hc, wc = h // 8, w // 8
+    m, W = 7, 5
+    rng = np.random.default_rng(29)
+    H01 = _mild_homography(rng)
+    # geometrically consistent matches: cell1 = nearest coarse cell of the
+    # warped cell0 center, so windows overlap and positives exist
+    all0 = rng.permutation(hc * wc).astype(np.int64)
+    pts0 = np.stack([all0 % wc, all0 // wc], -1) * 8.0
+    ph = np.concatenate([pts0, np.ones((len(pts0), 1))], -1) @ H01.T
+    warped = ph[:, :2] / ph[:, 2:]
+    c1 = np.round(warped / 8.0).astype(np.int64)
+    ok = ((c1[:, 0] >= 0) & (c1[:, 0] < wc)
+          & (c1[:, 1] >= 0) & (c1[:, 1] < hc))
+    cells0 = all0[ok][:m]
+    cells1 = (c1[ok][:m, 1] * wc + c1[ok][:m, 0]).astype(np.int64)
+    assert len(cells0) == m
+    kp0 = np.stack([cells0 % wc, cells0 // wc], -1) * 8.0
+    kp1 = np.stack([cells1 % wc, cells1 // wc], -1) * 8.0
+
+    matches = CoarseMatches(
+        conf=jnp.zeros((1, hc * wc, hc * wc)),
+        i_ids=jnp.asarray(cells0, jnp.int32)[None],
+        j_ids=jnp.asarray(cells1, jnp.int32)[None],
+        valid=jnp.ones((1, m), bool),
+        mconf=jnp.ones((1, m)))
+
+    base = {
+        "image0": torch.zeros(1, 1, h, w),
+        "image1": torch.zeros(1, 1, h, w),
+        "mkpts0_c": torch.from_numpy(kp0).float(),
+        "mkpts1_c": torch.from_numpy(kp1).float(),
+        "b_ids": torch.zeros(m, dtype=torch.long),
+        "W": W,
+        "hw0_i": torch.tensor([h, w]),
+        "hw0_c": torch.tensor([hc, wc]),
+        "hw0_f": torch.tensor([h // 2, w // 2]),
+    }
+    config = {"LOFTR": {"RESOLUTION": (8, 2)}}
+
+    # homography branch
+    data = dict(base, H_0to1=torch.from_numpy(H01[None]).float(),
+                H_1to0=torch.from_numpy(np.linalg.inv(H01)[None]).float())
+    with torch.no_grad():
+        spvs_fine2(data, config)
+    ref_label = data["conf_matrix_fine_gt"].numpy()
+    got = np.asarray(spvs_fine_homography(
+        matches, jnp.asarray(H01[None], jnp.float32), wc, wc))[0]
+    assert ref_label.sum() > 0
+    np.testing.assert_array_equal(got, ref_label)
+
+    # depth branch
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    depth0 = (5.0 + np.sin(xx / 17.0) + np.cos(yy / 13.0)).astype(np.float32)
+    depth1 = (5.0 + np.cos(xx / 15.0) + np.sin(yy / 11.0)).astype(np.float32)
+    K = np.array([[120.0, 0, 40.0], [0, 120.0, 32.0], [0, 0, 1]], np.float32)
+    th = 0.03
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    T01 = np.eye(4, dtype=np.float32)
+    T01[:3, :3] = R
+    T01[:3, 3] = [0.21, -0.13, 0.07]
+    # depth-consistent matches: nearest cell of the depth-warped centers
+    from model.loftr_src.loftr.utils.geometry import warp_kpts
+
+    with torch.no_grad():
+        okd, wd = warp_kpts(torch.from_numpy(pts0[None]).float(),
+                            torch.from_numpy(depth0[None]),
+                            torch.from_numpy(depth1[None]),
+                            torch.from_numpy(T01[None]),
+                            torch.from_numpy(K[None]),
+                            torch.from_numpy(K[None]))
+    c1d = np.round(wd[0].numpy() / 8.0).astype(np.int64)
+    okd = okd[0].numpy() & ((c1d[:, 0] >= 0) & (c1d[:, 0] < wc)
+                            & (c1d[:, 1] >= 0) & (c1d[:, 1] < hc))
+    cells0d = all0[okd][:m]
+    cells1d = (c1d[okd][:m, 1] * wc + c1d[okd][:m, 0]).astype(np.int64)
+    assert len(cells0d) == m
+    kp0d = np.stack([cells0d % wc, cells0d // wc], -1) * 8.0
+    kp1d = np.stack([cells1d % wc, cells1d // wc], -1) * 8.0
+    matches_d = CoarseMatches(
+        conf=jnp.zeros((1, hc * wc, hc * wc)),
+        i_ids=jnp.asarray(cells0d, jnp.int32)[None],
+        j_ids=jnp.asarray(cells1d, jnp.int32)[None],
+        valid=jnp.ones((1, m), bool),
+        mconf=jnp.ones((1, m)))
+
+    data = dict(base,
+                mkpts0_c=torch.from_numpy(kp0d).float(),
+                mkpts1_c=torch.from_numpy(kp1d).float(),
+                depth0=torch.from_numpy(depth0[None]),
+                depth1=torch.from_numpy(depth1[None]),
+                T_0to1=torch.from_numpy(T01[None]),
+                T_1to0=torch.from_numpy(np.linalg.inv(T01)[None]),
+                K0=torch.from_numpy(K[None]), K1=torch.from_numpy(K[None]))
+    with torch.no_grad():
+        spvs_fine2(data, config)
+    ref_label = data["conf_matrix_fine_gt"].numpy()
+    assert ref_label.sum() > 0
+    got = np.asarray(spvs_fine_depth(
+        matches_d, jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
+        jnp.asarray(T01[None]), jnp.asarray(K[None]), jnp.asarray(K[None]),
+        wc, wc))[0]
+    np.testing.assert_array_equal(got, ref_label)
