@@ -143,12 +143,16 @@ def coarse_match(
                 else mask0.reshape(b, l0)
             m1 = jnp.ones((b, l1), bool) if mask1 is None \
                 else mask1.reshape(b, l1)
+            # Only the seq axis is manualized (axis_names): on a 2-D
+            # (data, seq) mesh the batch dim keeps its data sharding via
+            # normal GSPMD propagation, so SP composes with DP eval.
             extracted = jax.shard_map(
                 lambda f0, f1, a, bm: streaming_match_extract(
                     f0, f1, temperature, a, bm, axis_name=sp_axis),
                 in_specs=(P(None, sp_axis, None), P(None, sp_axis, None),
                           P(None, sp_axis), P(None, sp_axis)),
                 out_specs=(P(None, sp_axis), P(None, sp_axis), P(), P()),
+                axis_names=frozenset({sp_axis}),
             )(feat_c0, feat_c1, m0, m1)
         else:
             extracted = streaming_match_extract(feat_c0, feat_c1,

@@ -8,9 +8,15 @@ reference numerics. This isolates inference-graph parity from training
 quality — the strongest evidence available without the released checkpoint
 (VERDICT r1 missing #2).
 
-Covered end-to-end: backbone -> sine PE -> 8-layer linear-attention coarse
-transformer -> dual-softmax confidence (the full first coarse pass), plus
-the fine window gather + fine transformer given identical coarse matches.
+Covered cross-implementation (reference torch code vs this framework):
+ - backbone -> sine PE -> coarse transformer -> dual-softmax confidence
+ - coarse match extraction (threshold + mutual-NN, border_rm=0 override)
+ - the GAM end-to-end (identical injected homography, all-inlier mask)
+ - fine window gather + fine transformer (identical coarse matches)
+ - fine decode (FineMatching2 mask algebra vs the argmax+gate reduction)
+ - coarse supervision labels, homography AND depth branches (exact match)
+ - fine supervision labels (spvs_fine2), both branches (exact match)
+ - GeoLoss: focal sparse/dense, cross-entropy, fine BCE, total composition
 """
 
 import sys

@@ -118,3 +118,40 @@ def test_sp_full_model_matches_replicated():
         np.testing.assert_allclose(np.asarray(ref.fine.mkpts1[0])[sel],
                                    np.asarray(out.fine.mkpts1[0])[sel],
                                    atol=1e-2)
+
+
+def test_sp_composes_with_data_parallel_2d_mesh():
+    """data x seq 2-D mesh: batch sharded over 'data' while each pair's
+    tokens shard over 'seq' (partial manualization in coarse_match keeps the
+    batch dim's data sharding through the extraction)."""
+    from jax.sharding import NamedSharding
+
+    cfg = GeoFormerConfig(
+        match=MatchConfig(thr=0.01, max_matches=64),
+        geo=GeoModuleConfig(ransac_iters=64, max_inliers=128),
+    )
+    model = GeoFormer(cfg)
+    key = jax.random.key(0)
+    rng = np.random.default_rng(6)
+    img0 = jnp.asarray(rng.random((2, 64, 80, 1)), jnp.float32)
+    img1 = jnp.roll(img0, 8, axis=2)
+    params = model.init({"params": key, "ransac": key}, img0[:1], img0[:1])
+
+    def run(m, p, a, b):
+        return m.apply(p, a, b, return_feats=True,
+                       rngs={"ransac": jax.random.key(1)})
+
+    ref = jax.jit(lambda p, a, b: run(model, p, a, b))(params, img0, img1)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "seq"))
+    sp_model = GeoFormer(cfg.replace(seq_axis="seq"))
+    with jax.sharding.set_mesh(mesh):
+        sh = NamedSharding(mesh, P("data", "seq", None, None))
+        out = jax.jit(lambda p, a, b: run(sp_model, p, a, b))(
+            params, jax.device_put(img0, sh), jax.device_put(img1, sh))
+
+    for a, b, name in zip(ref.feats, out.feats, ["f0", "f1", "g0", "g1"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(ref.geo.H), np.asarray(out.geo.H),
+                               rtol=1e-3, atol=1e-4)
