@@ -133,6 +133,12 @@ def coarse_match(
         from geoformer_tpu.ops.fused_loss import streaming_match_extract
 
         b, l0, _ = feat_c0.shape
+        # Extraction is a hard decision (@no_grad in the reference,
+        # coarse_matching.py:132): sever gradients at the INPUTS so autodiff
+        # never traces the extraction interior (whose cross-device pmax/pmin
+        # merges have no differentiation rules).
+        feat_c0 = jax.lax.stop_gradient(feat_c0)
+        feat_c1 = jax.lax.stop_gradient(feat_c1)
         if sp_axis is not None:
             from jax.sharding import PartitionSpec as P
 

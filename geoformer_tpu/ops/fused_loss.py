@@ -117,8 +117,10 @@ def sim_lse(feat0: jax.Array, feat1: jax.Array, temperature: float,
     r = r_ch.transpose(1, 0, 2).reshape(b, -1)[:, :l]
     if axis_name is not None:
         # Cross-device online-LSE merge of the column statistics: the local
-        # (m, acc) pairs summarize this device's row shard only.
-        gm = lax.pmax(m, axis_name)
+        # (m, acc) pairs summarize this device's row shard only. The max
+        # shift is gradient-neutral (cancels in c = m + log(acc)), and pmax
+        # has no differentiation rule — detach it.
+        gm = lax.pmax(lax.stop_gradient(m), axis_name)
         acc = lax.psum(acc * jnp.exp(m - gm), axis_name)
         m = gm
     c = m + jnp.log(jnp.maximum(acc, 1e-30))
@@ -240,6 +242,7 @@ def streaming_coarse_loss(
     mask0: Optional[jax.Array] = None,
     mask1: Optional[jax.Array] = None,
     chunk: int = 600,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Coarse GeoLoss term from features + sparse GT, streamed.
 
@@ -252,11 +255,22 @@ def streaming_coarse_loss(
         feat0/feat1: [B, L, C] / [B, S, C] post-transformer coarse features.
         gt_j: [B, L] GT column per image0 cell (sparse one-hot row form).
         gt_valid: [B, L] rows that carry a GT match.
+        axis_name: sequence-parallel mode (inside shard_map): feat0 / gt_j /
+            gt_valid / mask0 hold this device's row shard, feat1 / mask1 its
+            column shard (gathered here); losses reduce with global psum'd
+            numerators and counts, so values AND gradients match the
+            replicated computation.
     """
     b, l, cdim = feat0.shape
+    if axis_name is not None:
+        feat1 = lax.all_gather(feat1, axis_name, axis=1, tiled=True)
+        if mask1 is not None:
+            mask1 = lax.all_gather(mask1.reshape(b, -1), axis_name, axis=1,
+                                   tiled=True)
     s = feat1.shape[1]
     chunk = max(1, min(chunk, l))
-    r, c = sim_lse(feat0, feat1, temperature, mask0, mask1, chunk)
+    r, c = sim_lse(feat0, feat1, temperature, mask0, mask1, chunk,
+                   axis_name=axis_name)
 
     # effective per-cell weight of the dense path: weight = mask0 x mask1
     row_valid = jnp.ones((b, l), bool) if mask0 is None \
@@ -281,7 +295,11 @@ def streaming_coarse_loss(
     else:
         lp = _focal_pos(p_pos, cfg.focal_alpha, cfg.focal_gamma)
     w = pos_mask.astype(jnp.float32)
-    pos_loss = (lp * w).sum() / jnp.maximum(w.sum(), 1.0)
+    pos_sum, pos_cnt = (lp * w).sum(), w.sum()
+    if axis_name is not None:
+        pos_sum = lax.psum(pos_sum, axis_name)
+        pos_cnt = lax.psum(pos_cnt, axis_name)
+    pos_loss = pos_sum / jnp.maximum(pos_cnt, 1.0)
 
     if cfg.coarse_type == "focal" and cfg.sparse_spvs:
         return cfg.pos_weight * pos_loss
@@ -318,9 +336,14 @@ def streaming_coarse_loss(
         return (loss_sum + (ln * nmask).sum(),
                 cnt + nmask.sum()), None
 
+    init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+    if axis_name is not None:
+        init = jax.tree.map(
+            lambda x: lax.pcast(x, (axis_name,), to="varying"), init)
     (ln_sum, ln_cnt), _ = lax.scan(
-        jax.checkpoint(body),
-        (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
-        (f0_ch, rv_ch, r_ch, gtj_ch, gtv_ch))
+        jax.checkpoint(body), init, (f0_ch, rv_ch, r_ch, gtj_ch, gtv_ch))
+    if axis_name is not None:
+        ln_sum = lax.psum(ln_sum, axis_name)
+        ln_cnt = lax.psum(ln_cnt, axis_name)
     neg_loss = ln_sum / jnp.maximum(ln_cnt, 1.0)
     return cfg.pos_weight * pos_loss + cfg.neg_weight * neg_loss

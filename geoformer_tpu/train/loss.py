@@ -120,20 +120,50 @@ def geo_loss_streaming(
     temperature: float = 0.1,
     mask0: Optional[jax.Array] = None,
     mask1: Optional[jax.Array] = None,
+    sp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """geo_loss computed from coarse features + sparse GT without ever
     materializing a [B, L, L] confidence or GT matrix (ops/fused_loss.py).
     Value/gradient-equivalent to geo_loss(dense) — tests/test_fused_loss.py.
 
     feats: (f0, f1, g0, g1) from MatchOutput.feats (return_feats=True).
+    sp_axis: sequence-parallel mesh axis — the coarse terms run row-sharded
+    under shard_map with psum'd reductions (value/grad-equivalent; enables
+    high-resolution SP *training*, docs/SCALING.md). The fine term is
+    capacity-bounded and stays replicated.
     """
     from geoformer_tpu.ops.fused_loss import streaming_coarse_loss
 
     f0, f1, g0, g1 = feats
-    lc = streaming_coarse_loss(g0, g1, gt_j, gt_valid, cfg, temperature,
-                               mask0, mask1)
-    ld = streaming_coarse_loss(f0, f1, gt_j, gt_valid, cfg, temperature,
-                               mask0, mask1)
+
+    if sp_axis is None:
+        def coarse(a, b):
+            return streaming_coarse_loss(a, b, gt_j, gt_valid, cfg,
+                                         temperature, mask0, mask1)
+    else:
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+
+        bsz, l0 = gt_j.shape
+        m0 = jnp.ones((bsz, l0), jnp.float32) if mask0 is None \
+            else mask0.reshape(bsz, l0)
+        m1 = jnp.ones((bsz, f1.shape[1]), jnp.float32) if mask1 is None \
+            else mask1.reshape(bsz, f1.shape[1])
+
+        def coarse(a, b):
+            return _jax.shard_map(
+                lambda fa, fb, gj, gv, ma, mb: streaming_coarse_loss(
+                    fa, fb, gj, gv, cfg, temperature, ma, mb,
+                    axis_name=sp_axis),
+                in_specs=(P(None, sp_axis, None), P(None, sp_axis, None),
+                          P(None, sp_axis), P(None, sp_axis),
+                          P(None, sp_axis), P(None, sp_axis)),
+                out_specs=P(),
+                axis_names=frozenset({sp_axis}),
+            )(a, b, gt_j, gt_valid, m0, m1)
+
+    lc = coarse(g0, g1)
+    ld = coarse(f0, f1)
     lf = fine_loss(fine_conf, fine_gt, fine_valid, cfg)
     total = (lc + ld) * cfg.coarse_weight + lf * cfg.fine_weight
     return total, {"loss_c": lc, "loss_d": ld, "loss_f": lf, "loss": total}

@@ -88,7 +88,7 @@ def make_train_step(model: GeoFormer, opt: optax.GradientTransformation,
             loss, scalars = geo_loss_streaming(
                 out.feats, gt_j, gt_valid, out.fine.fine_conf, fine_gt,
                 out.matches.valid, tcfg.loss, cfg.match.dsmax_temperature,
-                mask0, mask1)
+                mask0, mask1, sp_axis=cfg.seq_axis)
             scalars["num_inliers"] = out.geo.num_inliers.mean(
             ).astype(jnp.float32)
             scalars["num_matches"] = out.matches.valid.sum(-1).mean(
@@ -140,7 +140,7 @@ def make_val_step(model: GeoFormer, tcfg: TrainConfig):
         loss, scalars = geo_loss_streaming(
             out.feats, gt_j, gt_valid, out.fine.fine_conf, fine_gt,
             out.matches.valid, tcfg.loss, cfg.match.dsmax_temperature,
-            mask0, mask1)
+            mask0, mask1, sp_axis=cfg.seq_axis)
         val = {f"val_{k}": v for k, v in scalars.items()}
 
         def fit_one(key, mk0, mk1, v):
@@ -201,7 +201,7 @@ def make_depth_train_step(model: GeoFormer, opt: optax.GradientTransformation,
             loss, scalars = geo_loss_streaming(
                 out.feats, gt_j, gt_valid, out.fine.fine_conf, fine_gt,
                 out.matches.valid, tcfg.loss, cfg.match.dsmax_temperature,
-                mask0, mask1)
+                mask0, mask1, sp_axis=cfg.seq_axis)
             scalars["num_matches"] = out.matches.valid.sum(-1).mean(
             ).astype(jnp.float32)
             return loss, (mut.get("batch_stats", state.batch_stats), scalars)
@@ -263,7 +263,7 @@ def make_depth_val_step(model: GeoFormer, tcfg: TrainConfig):
         loss, scalars = geo_loss_streaming(
             out.feats, gt_j, gt_valid, out.fine.fine_conf, fine_gt,
             out.matches.valid, tcfg.loss, cfg.match.dsmax_temperature,
-            mask0, mask1)
+            mask0, mask1, sp_axis=cfg.seq_axis)
         scalars = {f"val_{k}": v for k, v in scalars.items()}
         scalars["val_num_matches"] = out.fine.valid.sum(-1).mean(
         ).astype(jnp.float32)

@@ -69,6 +69,8 @@ def _convert_encoder_layer(params, sd, tprefix, jprefix):
 
 
 def _convert_backbone(params, stats, sd):
+    if "backbone.layer4.0.conv1.weight" in sd:
+        return _convert_backbone_16_4(params, stats, sd)
     p = ("backbone",)
     _convert_conv(params, sd, "backbone.conv1", p + ("conv1",))
     _convert_bn(params, stats, sd, "backbone.bn1", p + ("bn1",))
@@ -95,6 +97,36 @@ def _convert_backbone(params, stats, sd):
     _convert_conv(params, sd, "backbone.layer1_outconv2.0", p + ("l1_m1",))
     _convert_bn(params, stats, sd, "backbone.layer1_outconv2.1", p + ("l1_bn",))
     _convert_conv(params, sd, "backbone.layer1_outconv2.3", p + ("l1_m2",))
+
+
+def _convert_backbone_16_4(params, stats, sd):
+    """ResNetFPN_16_4 layout (reference: backbone/resnet_fpn.py:121-199):
+    four residual stages; FPN from 1/16 down to 1/4 only."""
+    p = ("backbone",)
+    _convert_conv(params, sd, "backbone.conv1", p + ("conv1",))
+    _convert_bn(params, stats, sd, "backbone.bn1", p + ("bn1",))
+    for li in (1, 2, 3, 4):
+        for bi in (0, 1):
+            t = f"backbone.layer{li}.{bi}"
+            j = p + (f"layer{li}_{bi}",)
+            _convert_conv(params, sd, f"{t}.conv1", j + ("conv1",))
+            _convert_conv(params, sd, f"{t}.conv2", j + ("conv2",))
+            _convert_bn(params, stats, sd, f"{t}.bn1", j + ("bn1",))
+            _convert_bn(params, stats, sd, f"{t}.bn2", j + ("bn2",))
+            if f"{t}.downsample.0.weight" in sd:
+                _convert_conv(params, sd, f"{t}.downsample.0",
+                              j + ("conv_down",))
+                _convert_bn(params, stats, sd, f"{t}.downsample.1",
+                            j + ("bn_down",))
+    _convert_conv(params, sd, "backbone.layer4_outconv", p + ("l4_out",))
+    _convert_conv(params, sd, "backbone.layer3_outconv", p + ("l3_out",))
+    _convert_conv(params, sd, "backbone.layer3_outconv2.0", p + ("l3_m1",))
+    _convert_bn(params, stats, sd, "backbone.layer3_outconv2.1", p + ("l3_bn",))
+    _convert_conv(params, sd, "backbone.layer3_outconv2.3", p + ("l3_m2",))
+    _convert_conv(params, sd, "backbone.layer2_outconv", p + ("l2_out",))
+    _convert_conv(params, sd, "backbone.layer2_outconv2.0", p + ("l2_m1",))
+    _convert_bn(params, stats, sd, "backbone.layer2_outconv2.1", p + ("l2_bn",))
+    _convert_conv(params, sd, "backbone.layer2_outconv2.3", p + ("l2_m2",))
 
 
 def convert_state_dict(sd: Dict[str, "np.ndarray"],

@@ -818,3 +818,43 @@ def test_spvs_fine_matches_reference(ref_modules):
         jnp.asarray(T01[None]), jnp.asarray(K[None]), jnp.asarray(K[None]),
         wc, wc))[0]
     np.testing.assert_array_equal(got, ref_label)
+
+
+def test_resnetfpn_16_4_matches_reference_code(ref_modules):
+    """The alternative (1/16, 1/4) backbone ladder vs the reference's
+    ResNetFPN_16_4 with converted weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from model.loftr_src.loftr.backbone.resnet_fpn import ResNetFPN_16_4
+
+    from geoformer_tpu.config import BackboneConfig
+    from geoformer_tpu.models.backbone import build_backbone
+    from geoformer_tpu.utils.torch_convert import (
+        _convert_backbone_16_4,
+    )
+
+    torch.manual_seed(3)
+    dims = (16, 24, 32, 48)
+    ref = ResNetFPN_16_4({"initial_dim": 16, "block_dims": list(dims)}).eval()
+    rng = np.random.default_rng(31)
+    x = rng.random((1, 1, 64, 96)).astype(np.float32)
+    with torch.no_grad():
+        c_t, f_t = ref(torch.from_numpy(x))
+
+    sd = {f"backbone.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params, stats = {}, {}
+    _convert_backbone_16_4(params, stats, sd)
+
+    bb = build_backbone(BackboneConfig(initial_dim=16, block_dims=dims,
+                                       resolution=(16, 4)))
+    c_j, f_j = bb.apply(
+        {"params": params["backbone"], "batch_stats": stats["backbone"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(c_j[0]),
+                               c_t[0].permute(1, 2, 0).numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_j[0]),
+                               f_t[0].permute(1, 2, 0).numpy(),
+                               atol=2e-4, rtol=1e-3)

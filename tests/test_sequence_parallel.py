@@ -155,3 +155,46 @@ def test_sp_composes_with_data_parallel_2d_mesh():
                                    atol=2e-4, err_msg=name)
     np.testing.assert_allclose(np.asarray(ref.geo.H), np.asarray(out.geo.H),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_sp_train_step_matches_replicated():
+    """A full self-supervised TRAIN step (forward + streaming loss +
+    backward + optimizer update) under sequence parallelism must reproduce
+    the replicated step: loss scalars and updated parameters."""
+    from geoformer_tpu.config import TrainConfig
+    from geoformer_tpu.data.synthetic import make_pair_batch
+    from geoformer_tpu.train.trainer import init_state, make_train_step
+
+    cfg = GeoFormerConfig(
+        match=MatchConfig(max_matches=32, force_one_match=True),
+        geo=GeoModuleConfig(ransac_iters=32, max_inliers=32),
+    )
+    tcfg = TrainConfig(batch_size=1, image_hw=(64, 80))
+    rng = np.random.default_rng(8)
+    base = jnp.asarray(rng.random((1, 64, 80)), jnp.float32)
+    batch = make_pair_batch(base, jax.random.key(1))
+    lr = jnp.asarray(1e-4, jnp.float32)
+
+    model = GeoFormer(cfg)
+    state, opt = init_state(model, tcfg, jax.random.key(0))
+    step = jax.jit(make_train_step(model, opt, tcfg))
+    ref_state, ref_metrics = step(state, batch, jax.random.key(2), lr)
+
+    sp_model = GeoFormer(cfg.replace(seq_axis="seq"))
+    sp_state, _ = init_state(sp_model.bind({}) if False else model, tcfg,
+                             jax.random.key(0))  # same init as replicated
+    sp_step_fn = make_train_step(sp_model, opt, tcfg)
+    with jax.sharding.set_mesh(_mesh()):
+        sp_state2, sp_metrics = jax.jit(sp_step_fn)(
+            sp_state, batch, jax.random.key(2), lr)
+
+    for k in ("loss", "loss_c", "loss_d", "loss_f"):
+        np.testing.assert_allclose(float(sp_metrics[k]),
+                                   float(ref_metrics[k]), rtol=2e-3,
+                                   err_msg=k)
+    # updated parameters agree (same data, same rng, psum'd loss reductions)
+    ref_leaves = jax.tree.leaves(ref_state.params)
+    sp_leaves = jax.tree.leaves(sp_state2.params)
+    worst = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(ref_leaves, sp_leaves))
+    assert worst < 5e-3, worst
