@@ -17,6 +17,9 @@ Covered cross-implementation (reference torch code vs this framework):
  - coarse supervision labels, homography AND depth branches (exact match)
  - fine supervision labels (spvs_fine2), both branches (exact match)
  - GeoLoss: focal sparse/dense, cross-entropy, fine BCE, total composition
+ - the ResNetFPN_16_4 alternative ladder (converted weights)
+ - the FULL pipeline composition (model/full_model.py forward end to end,
+   converted weights, identical injected homography): final keypoints
 """
 
 import sys
@@ -858,3 +861,110 @@ def test_resnetfpn_16_4_matches_reference_code(ref_modules):
     np.testing.assert_allclose(np.asarray(f_j[0]),
                                f_t[0].permute(1, 2, 0).numpy(),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_full_model_matches_reference_code(ref_modules, monkeypatch):
+    """FULL pipeline composition vs the reference's own GeoFormer
+    (model/full_model.py): backbone -> PE -> coarse transformer -> match ->
+    GAM -> second match -> fine stage -> decode, with converted weights and
+    an identical homography injected into both mid-forward fits. Compares
+    the second-pass coarse match sets and the final pixel keypoints."""
+    import jax
+    import jax.numpy as jnp
+
+    import model.geo_module as ref_gm_mod
+    from model.full_model import GeoFormer as RefGeoFormer
+    from model.geo_config import default_cfg as geo_default
+    from model.loftr_src.loftr.utils.cvpr_ds_config import (
+        default_cfg as loftr_default,
+    )
+
+    import geoformer_tpu.models.geo_module as gm_mod
+    from geoformer_tpu.config import (
+        FineMatchConfig,
+        GeoFormerConfig,
+        GeoModuleConfig,
+        MatchConfig,
+    )
+    from geoformer_tpu.models import GeoFormer
+    from geoformer_tpu.utils.torch_convert import convert_state_dict
+
+    torch.manual_seed(11)
+    import copy
+
+    loftr_cfg = copy.deepcopy(loftr_default)
+    geo_cfg = dict(geo_default, coarse_thr=1e-5, fine_thr=0.0)
+    ref = RefGeoFormer(loftr_cfg, geo_cfg).eval()
+
+    H_fix = np.array([[1.01, 0.002, 13.3],
+                      [-0.003, 0.99, 5.7],
+                      [1e-5, -2e-5, 1.0]])
+    monkeypatch.setattr(
+        ref_gm_mod.cv2, "findHomography",
+        lambda kp0, kp1, *a, **k: (H_fix.copy(),
+                                   np.ones((len(kp0), 1), np.uint8)))
+
+    def fake_ransac(key, p0, p1, v, **kw):
+        import jax.numpy as _jnp
+
+        return {"H": _jnp.asarray(H_fix, _jnp.float32), "inliers": v,
+                "num_inliers": v.sum(), "ok": _jnp.asarray(True)}
+
+    monkeypatch.setattr(gm_mod, "ransac_homography", fake_ransac)
+
+    h, w = 96, 128
+    hc, wc = h // 8, w // 8
+    rng = np.random.default_rng(37)
+    im0 = rng.random((1, 1, h, w)).astype(np.float32)
+    im1 = np.roll(im0, 5, axis=3) * 0.9 + 0.05
+
+    data = {"image0": torch.from_numpy(im0), "image1": torch.from_numpy(im1)}
+    with torch.no_grad():
+        ref(data)
+    ref_pairs = {(int(i), int(j)): (float(x0), float(y0), float(x1),
+                                    float(y1), float(mc))
+                 for i, j, (x0, y0), (x1, y1), mc in zip(
+                     data["i_ids"], data["j_ids"],
+                     data["mkpts0_f"].numpy(), data["mkpts1_f"].numpy(),
+                     data["mconf"].numpy())}
+    assert len(ref_pairs) > 8  # M branch of the GAM actually ran
+
+    variables = convert_state_dict(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+    cfg = GeoFormerConfig(
+        match=MatchConfig(thr=1e-5, max_matches=hc * wc),
+        geo=GeoModuleConfig(max_inliers=hc * wc),
+        fine_match=FineMatchConfig(thr=0.0))
+    out = GeoFormer(cfg).apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(im0.transpose(0, 2, 3, 1)),
+        jnp.asarray(im1.transpose(0, 2, 3, 1)),
+        rngs={"ransac": jax.random.key(0)})
+
+    vv = np.asarray(out.fine.valid[0])
+    got_pairs = {}
+    ii = np.asarray(out.matches.i_ids[0])
+    jj = np.asarray(out.matches.j_ids[0])
+    k0 = np.asarray(out.fine.mkpts0[0])
+    k1 = np.asarray(out.fine.mkpts1[0])
+    mc = np.asarray(out.fine.mconf[0])
+    for s in np.where(vv)[0]:
+        got_pairs[(int(ii[s]), int(jj[s]))] = (
+            float(k0[s, 0]), float(k0[s, 1]), float(k1[s, 0]),
+            float(k1[s, 1]), float(mc[s]))
+
+    # near-total agreement of the coarse match sets (float ties may flip a
+    # couple of cells through the 12-layer stack)
+    common = set(ref_pairs) & set(got_pairs)
+    union = set(ref_pairs) | set(got_pairs)
+    assert len(common) / len(union) >= 0.9, (len(common), len(union))
+    # final keypoints + confidence for common matches
+    for key in sorted(common):
+        a, b = ref_pairs[key], got_pairs[key]
+        np.testing.assert_allclose(b[:4], a[:4], atol=2.01,
+                                   err_msg=str(key))  # fine cell = 2 px
+        np.testing.assert_allclose(b[4], a[4], rtol=0.05, atol=1e-3)
+    exact = sum(np.allclose(got_pairs[k][:4], ref_pairs[k][:4], atol=1e-3)
+                for k in common)
+    assert exact / len(common) >= 0.9, (exact, len(common))
