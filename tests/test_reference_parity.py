@@ -20,6 +20,7 @@ Covered cross-implementation (reference torch code vs this framework):
  - the ResNetFPN_16_4 alternative ladder (converted weights)
  - the FULL pipeline composition (model/full_model.py forward end to end,
    converted weights, identical injected homography): final keypoints
+ - benchmark metric math (HPatches error-AUC/reproj/correctness, FIRE AUC)
 """
 
 import sys
@@ -968,3 +969,59 @@ def test_full_model_matches_reference_code(ref_modules, monkeypatch):
     exact = sum(np.allclose(got_pairs[k][:4], ref_pairs[k][:4], atol=1e-3)
                 for k in common)
     assert exact / len(common) >= 0.9, (exact, len(common))
+
+
+def test_eval_metrics_match_reference_code(ref_modules):
+    """Benchmark metric math (HPatches error-AUC / reprojection distances /
+    correctness rates, FIRE 1-25px AUC curve) vs the reference's own eval
+    helpers on random inputs — pinning the PROTOCOL, not just the matcher,
+    so headline AUC numbers are comparable to the reference's README."""
+    _stub("pydegensac", findHomography=None)
+
+    class _Tqdm:
+        def __call__(self, it, *a, **k):
+            return it
+
+    _stub("tqdm", tqdm=_Tqdm())
+
+    sys.path.insert(0, REF + "/eval_tool")
+    try:
+        from immatch.utils.hpatches_helper import (
+            cal_error_auc,
+            cal_reproj_dists,
+        )
+        from immatch.utils.fire_helper import compute_auc
+    finally:
+        sys.path.remove(REF + "/eval_tool")
+
+    from geoformer_tpu.eval import metrics as jm
+    from geoformer_tpu.eval.fire import _auc_curve
+
+    rng = np.random.default_rng(41)
+    errors = np.abs(rng.normal(scale=4.0, size=120))
+    thres = [1, 3, 5, 10]
+    np.testing.assert_allclose(jm.cal_error_auc(errors, thres),
+                               cal_error_auc(errors, thres), rtol=1e-12)
+    # degenerate inputs
+    np.testing.assert_array_equal(jm.cal_error_auc([], thres),
+                                  cal_error_auc([], thres))
+
+    p1 = rng.random((50, 2)) * 100
+    p2 = rng.random((50, 2)) * 100
+    H = _mild_homography(rng)
+    np.testing.assert_allclose(jm.reproj_dists(p1, p2, H),
+                               cal_reproj_dists(p1, p2, H), rtol=1e-10)
+
+    # correctness = mean over pairs of (dist <= t) — eval_summary_homography
+    want = np.mean([[float(d <= t) for t in thres] for d in errors], axis=0)
+    np.testing.assert_allclose(jm.correctness(errors, thres), want,
+                               rtol=1e-12)
+
+    # FIRE: the reference computes per-class accumulated percentile curves
+    s = np.abs(rng.normal(scale=8.0, size=71))
+    p = np.abs(rng.normal(scale=12.0, size=48))
+    a = np.abs(rng.normal(scale=10.0, size=14))
+    ref_auc = compute_auc(s, p, a)
+    np.testing.assert_allclose(_auc_curve(s), ref_auc["s"], rtol=1e-12)
+    np.testing.assert_allclose(_auc_curve(p), ref_auc["p"], rtol=1e-12)
+    np.testing.assert_allclose(_auc_curve(a), ref_auc["a"], rtol=1e-12)
