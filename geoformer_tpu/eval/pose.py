@@ -61,9 +61,16 @@ def error_auc(errors: Sequence[float], thresholds=(5, 10, 20)) -> Dict:
 def aggregate_metrics(metrics: Dict[str, List], epi_err_thr: float = 5e-4,
                       thresholds=(5, 10, 20)) -> Dict:
     """Dedup by pair id (DDP duplicate filter in the reference,
-    metrics.py:180-182), pose AUC + epipolar precision."""
-    ids = np.asarray(metrics["identifiers"])
-    _, keep = np.unique(ids, return_index=True)
+    metrics.py:180-182), pose AUC + epipolar precision.
+
+    The reference's OrderedDict((iden, id)) overwrite keeps the LAST
+    occurrence of a duplicated identifier — matched here (cross-tested;
+    irrelevant in practice since DDP duplicates carry identical values)."""
+    ids = metrics["identifiers"]
+    last = {}
+    for i, idn in enumerate(ids):
+        last[idn] = i
+    keep = np.asarray(sorted(last.values()))
     pose_errs = np.maximum(np.asarray(metrics["R_errs"])[keep],
                            np.asarray(metrics["t_errs"])[keep])
     out = error_auc(pose_errs, thresholds)

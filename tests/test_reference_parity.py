@@ -21,6 +21,8 @@ Covered cross-implementation (reference torch code vs this framework):
  - the FULL pipeline composition (model/full_model.py forward end to end,
    converted weights, identical injected homography): final keypoints
  - benchmark metric math (HPatches error-AUC/reproj/correctness, FIRE AUC)
+ - pose-validation math (relative pose error, symmetric epipolar distance,
+   pose AUC, DDP-dedup aggregation, essential-matrix pose recovery)
 """
 
 import sys
@@ -1025,3 +1027,96 @@ def test_eval_metrics_match_reference_code(ref_modules):
     np.testing.assert_allclose(_auc_curve(s), ref_auc["s"], rtol=1e-12)
     np.testing.assert_allclose(_auc_curve(p), ref_auc["p"], rtol=1e-12)
     np.testing.assert_allclose(_auc_curve(a), ref_auc["a"], rtol=1e-12)
+
+
+def test_pose_metrics_match_reference_code(ref_modules):
+    """Pose-validation protocol math (relative pose error, symmetric
+    epipolar distance, pose AUC, DDP-dedup aggregation, essential-matrix
+    pose recovery) vs the reference's loftr_src/utils/metrics.py."""
+    import jax.numpy as jnp
+
+    # metrics.py needs REAL kornia epipolar helpers — fill the stubs
+    import kornia.geometry.conversions as kconv
+    import kornia.geometry.epipolar as kepi
+
+    kconv.convert_points_to_homogeneous = lambda x: torch.cat(
+        [x, torch.ones_like(x[..., :1])], -1)
+
+    def _cross_product_matrix(t):
+        z = torch.zeros_like(t[..., 0])
+        return torch.stack([
+            torch.stack([z, -t[..., 2], t[..., 1]], -1),
+            torch.stack([t[..., 2], z, -t[..., 0]], -1),
+            torch.stack([-t[..., 1], t[..., 0], z], -1)], -2)
+
+    kepi.numeric = types.SimpleNamespace(
+        cross_product_matrix=_cross_product_matrix)
+
+    from model.loftr_src.utils import metrics as ref_m
+
+    from geoformer_tpu.eval import pose as jp
+    from geoformer_tpu.geometry.depth import (
+        relative_pose_error,
+        symmetric_epipolar_distance,
+    )
+
+    rng = np.random.default_rng(43)
+
+    # relative pose error
+    th = 0.2
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = [0.3, -0.1, 0.05]
+    Rn = R @ np.array([[np.cos(0.01), 0, np.sin(0.01)], [0, 1, 0],
+                       [-np.sin(0.01), 0, np.cos(0.01)]])
+    tn = np.array([0.29, -0.12, 0.06])
+    np.testing.assert_allclose(
+        relative_pose_error(T, Rn, tn),
+        ref_m.relative_pose_error(T, Rn, tn), rtol=1e-9)
+
+    # symmetric epipolar distance
+    K = np.array([[120.0, 0, 40], [0, 120.0, 32], [0, 0, 1]])
+    tx = _cross_product_matrix(torch.tensor(T[:3, 3])[None])[0].numpy()
+    E = tx @ T[:3, :3]
+    p0 = rng.random((30, 2)) * 80
+    p1 = rng.random((30, 2)) * 80
+    d_ref = ref_m.symmetric_epipolar_distance(
+        torch.from_numpy(p0), torch.from_numpy(p1), torch.from_numpy(E),
+        torch.from_numpy(K), torch.from_numpy(K)).numpy()
+    d_got = np.asarray(symmetric_epipolar_distance(
+        jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32),
+        jnp.asarray(E, jnp.float32), jnp.asarray(K, jnp.float32),
+        jnp.asarray(K, jnp.float32)))
+    np.testing.assert_allclose(d_got, d_ref, rtol=2e-3)
+
+    # pose AUC + aggregation with duplicated identifiers (DDP dedup)
+    n = 40
+    r_errs = np.abs(rng.normal(scale=8, size=n)).tolist()
+    t_errs = np.abs(rng.normal(scale=8, size=n)).tolist()
+    epi = [np.abs(rng.normal(scale=3e-4, size=rng.integers(5, 30)))
+           for _ in range(n)]
+    idents = [f"pair{i % 30}" for i in range(n)]  # 10 duplicates
+    metrics = {"R_errs": r_errs, "t_errs": t_errs, "epi_errs": epi,
+               "identifiers": idents}
+    want = ref_m.aggregate_metrics(
+        {"R_errs": list(r_errs), "t_errs": list(t_errs),
+         "epi_errs": [np.asarray(e) for e in epi],
+         "identifiers": list(idents)})
+    got = jp.aggregate_metrics(metrics)
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], float(v), rtol=1e-9, err_msg=k)
+
+    # essential-matrix pose recovery on exact correspondences
+    pts_cam0 = np.concatenate([rng.random((100, 2)) * 2 - 1,
+                               np.ones((100, 1))], -1) * \
+        (2.0 + rng.random((100, 1)) * 3)
+    pts_cam1 = pts_cam0 @ T[:3, :3].T + T[:3, 3]
+    k0 = (pts_cam0 / pts_cam0[:, 2:]) @ K.T
+    k1 = (pts_cam1 / pts_cam1[:, 2:]) @ K.T
+    ret_ref = ref_m.estimate_pose(k0[:, :2], k1[:, :2], K, K, 0.5)
+    ret_got = jp.estimate_pose(k0[:, :2], k1[:, :2], K, K, 0.5)
+    assert ret_ref is not None and ret_got is not None
+    np.testing.assert_allclose(ret_got[0], ret_ref[0], atol=1e-4)  # R
+    np.testing.assert_allclose(ret_got[1], ret_ref[1], atol=1e-4)  # t
