@@ -23,6 +23,7 @@ Covered cross-implementation (reference torch code vs this framework):
  - benchmark metric math (HPatches error-AUC/reproj/correctness, FIRE AUC)
  - pose-validation math (relative pose error, symmetric epipolar distance,
    pose AUC, DDP-dedup aggregation, essential-matrix pose recovery)
+ - legacy LoFTR soft-argmax fine decode + std-weighted l2 fine loss
 """
 
 import sys
@@ -73,17 +74,33 @@ def ref_modules():
     _stub("skimage.feature", peak_local_max=None)
     _stub("kornia")
     _stub("kornia.geometry")
-    _stub("kornia.geometry.subpix", dsnt=None)
+    # real dsnt.spatial_expectation2d: the legacy LoFTR fine decode uses it
+    def _spatial_expectation2d(x, normalized=True):
+        assert normalized
+        b, m, h, w = x.shape
+        ys = torch.linspace(-1.0, 1.0, h)
+        xs = torch.linspace(-1.0, 1.0, w)
+        gy, gx = torch.meshgrid(ys, xs)
+        ex = (x * gx).sum((-1, -2))
+        ey = (x * gy).sum((-1, -2))
+        return torch.stack([ex, ey], -1)
+
+    _stub("kornia.geometry.subpix", dsnt=types.SimpleNamespace(
+        spatial_expectation2d=_spatial_expectation2d))
     _stub("kornia.geometry.epipolar", numeric=None)
     _stub("kornia.geometry.conversions", convert_points_to_homogeneous=None)
     # real create_meshgrid: loftr/utils/supervision.py uses it for the GT
     # grids (everywhere else it is dead code)
     def _create_meshgrid(h, w, normalized_coordinates=True, device=None,
                          dtype=None):
-        assert not normalized_coordinates  # supervision always passes False
-        ys, xs = torch.meshgrid(torch.arange(h, dtype=torch.float32),
-                                torch.arange(w, dtype=torch.float32))
-        return torch.stack([xs, ys], -1)[None]
+        if normalized_coordinates:
+            ys = torch.linspace(-1.0, 1.0, h)
+            xs = torch.linspace(-1.0, 1.0, w)
+        else:
+            ys = torch.arange(h, dtype=torch.float32)
+            xs = torch.arange(w, dtype=torch.float32)
+        gy, gx = torch.meshgrid(ys, xs)
+        return torch.stack([gx, gy], -1)[None]
 
     _stub("kornia.utils", create_meshgrid=_create_meshgrid)
     _stub("kornia.utils.grid", create_meshgrid=_create_meshgrid)
@@ -1120,3 +1137,81 @@ def test_pose_metrics_match_reference_code(ref_modules):
     assert ret_ref is not None and ret_got is not None
     np.testing.assert_allclose(ret_got[0], ret_ref[0], atol=1e-4)  # R
     np.testing.assert_allclose(ret_got[1], ret_ref[1], atol=1e-4)  # t
+
+
+def test_legacy_fine_soft_argmax_matches_reference_code(ref_modules):
+    """Legacy LoFTR soft-argmax fine decode (dsnt spatial expectation +
+    per-match std) vs the reference's fine_matching.py on shared window
+    features, including final keypoints."""
+    import jax.numpy as jnp
+
+    from model.loftr_src.loftr.utils.fine_matching import FineMatching
+
+    from geoformer_tpu.models.loftr import soft_argmax_match
+
+    m, W, C = 9, 5, 64
+    WW = W * W
+    rng = np.random.default_rng(47)
+    f0 = rng.normal(size=(m, WW, C)).astype(np.float32)
+    f1 = rng.normal(size=(m, WW, C)).astype(np.float32)
+    kp0 = rng.random((m, 2)).astype(np.float32) * 80
+    kp1 = rng.random((m, 2)).astype(np.float32) * 80
+
+    fm = FineMatching().eval()
+    data = {
+        "mkpts0_c": torch.from_numpy(kp0),
+        "mkpts1_c": torch.from_numpy(kp1),
+        "mconf": torch.ones(m),
+        "b_ids": torch.zeros(m, dtype=torch.long),
+        "hw0_i": torch.tensor([64, 80]),
+        "hw0_f": torch.tensor([32, 40]),
+    }
+    with torch.no_grad():
+        fm(torch.from_numpy(f0), torch.from_numpy(f1), data)
+
+    coords, std = soft_argmax_match(jnp.asarray(f0), jnp.asarray(f1), W)
+    expec_ref = data["expec_f"].numpy()
+    np.testing.assert_allclose(np.asarray(coords), expec_ref[:, :2],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), expec_ref[:, 2], atol=1e-5)
+    # final keypoints: mkpts1_c + coords * (W//2) * scale  (scale = 2)
+    got_kp1 = kp1 + np.asarray(coords) * (W // 2) * 2
+    np.testing.assert_allclose(got_kp1, data["mkpts1_f"].numpy(), atol=1e-4)
+    np.testing.assert_allclose(kp0, data["mkpts0_f"].numpy())
+
+
+def test_legacy_fine_loss_l2_std_matches_reference(ref_modules):
+    """Legacy std-weighted l2 fine loss vs the reference's
+    _compute_fine_loss_l2_std on shared expectations."""
+    import jax.numpy as jnp
+
+    from model.loftr_src.losses.loftr_loss import GeoLoss
+
+    from geoformer_tpu.config import LossConfig  # noqa: F401 (doc anchor)
+    from geoformer_tpu.train.loss import fine_loss_l2_std
+
+    cfg = {"loftr": {
+        "loss": {"fine_correct_thr": 1.0, "pos_weight": 1.0,
+                 "neg_weight": 1.0, "fine_type": "l2_with_std",
+                 "coarse_type": "focal", "focal_alpha": 0.25,
+                 "focal_gamma": 2.0, "coarse_weight": 1.0,
+                 "fine_weight": 1.0},
+        "match_coarse": {"match_type": "dual_softmax",
+                         "sparse_spvs": True}}}
+    ref = GeoLoss(cfg).eval()
+
+    rng = np.random.default_rng(53)
+    m = 24
+    expec = np.concatenate(
+        [rng.normal(scale=0.5, size=(m, 2)),
+         np.abs(rng.normal(scale=0.3, size=(m, 1))) + 0.05],
+        -1).astype(np.float32)
+    # some GT offsets outside the window (|.|_inf >= 1) must be excluded
+    gt = rng.normal(scale=0.8, size=(m, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref._compute_fine_loss_l2_std(
+            torch.from_numpy(expec), torch.from_numpy(gt)).item()
+    got = float(fine_loss_l2_std(jnp.asarray(expec[None]),
+                                 jnp.asarray(gt[None]),
+                                 jnp.ones((1, m), bool)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
