@@ -24,6 +24,8 @@ Covered cross-implementation (reference torch code vs this framework):
  - pose-validation math (relative pose error, symmetric epipolar distance,
    pose AUC, DDP-dedup aggregation, essential-matrix pose recovery)
  - legacy LoFTR soft-argmax fine decode + std-weighted l2 fine loss
+ - the FULL HPatches benchmark protocol (driver vs driver, injected
+   identical matches + solver: every aggregate equal to float precision)
 """
 
 import sys
@@ -1215,3 +1217,146 @@ def test_legacy_fine_loss_l2_std_matches_reference(ref_modules):
                                  jnp.asarray(gt[None]),
                                  jnp.ones((1, m), bool)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_hpatches_driver_protocol_matches_reference(ref_modules, tmp_path,
+                                                    monkeypatch):
+    """The FULL HPatches benchmark protocol (pair enumeration, i/v split,
+    MMA accumulation + normalization, corner-distance Hest, AUC) vs the
+    reference's eval_hpatches driver — identical injected matches and an
+    identical injected (deterministic DLT) solver on a synthetic mini
+    dataset, so every aggregate must agree to float precision."""
+    import cv2 as _cv2
+
+    _stub("pydegensac", findHomography=None)
+
+    class _Tqdm:
+        def __call__(self, it, *a, **k):
+            return it
+
+    _stub("tqdm", tqdm=_Tqdm())
+    sys.path.insert(0, REF + "/eval_tool")
+    try:
+        from immatch.utils import hpatches_helper as hh
+    finally:
+        sys.path.remove(REF + "/eval_tool")
+
+    # --- synthetic mini-HPatches: 2 illumination + 2 viewpoint sequences
+    h, w = 96, 128
+    rng = np.random.default_rng(59)
+    root = tmp_path / "hp"
+    root.mkdir()
+    gts = {}
+    for s in range(4):
+        name = ("i" if s % 2 == 0 else "v") + f"_seq{s}"
+        d = root / name
+        d.mkdir()
+        base = (rng.random((h, w)) * 255).astype(np.uint8)
+        _cv2.imwrite(str(d / "1.ppm"), _cv2.cvtColor(base,
+                                                     _cv2.COLOR_GRAY2BGR))
+        for idx in range(2, 7):
+            H = np.array([[1.0 + 0.01 * idx, 0.005 * s, (idx - 1) * 2.0],
+                          [-0.004 * idx, 1.0 - 0.008 * s, s - 1.5],
+                          [1e-5, -1e-5, 1.0]])
+            warped = _cv2.warpPerspective(base, H, (w, h))
+            _cv2.imwrite(str(d / f"{idx}.ppm"),
+                         _cv2.cvtColor(warped, _cv2.COLOR_GRAY2BGR))
+            np.savetxt(str(d / f"H_1_{idx}"), H)
+            gts[(name, idx)] = H
+
+    # --- identical injected matches: GT-warped grid + noise per pair
+    gx, gy = np.meshgrid(np.arange(8, w - 8, 6), np.arange(8, h - 8, 6))
+    p1 = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float64)
+    table = {}
+    for key, H in gts.items():
+        ph = np.concatenate([p1, np.ones((len(p1), 1))], 1) @ H.T
+        p2 = ph[:, :2] / ph[:, 2:]
+        p2 = p2 + rng.uniform(-2.0, 2.0, p2.shape)
+        table[key] = (p1.copy(), p2)
+
+    # --- identical injected solver: deterministic normalized DLT
+    def dlt(p0, p2):
+        def norm(p):
+            m = p.mean(0)
+            s = np.sqrt(2) / np.mean(np.linalg.norm(p - m, axis=1))
+            T = np.array([[s, 0, -s * m[0]], [0, s, -s * m[1]], [0, 0, 1]])
+            return (np.concatenate([p, np.ones((len(p), 1))], 1) @ T.T), T
+        a, Ta = norm(np.asarray(p0, np.float64))
+        b, Tb = norm(np.asarray(p2, np.float64))
+        rows = []
+        for (x, y, _), (u, v, _) in zip(a, b):
+            rows.append([0, 0, 0, -x, -y, -1, v * x, v * y, v])
+            rows.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+        _, _, vt = np.linalg.svd(np.asarray(rows))
+        Hn = vt[-1].reshape(3, 3)
+        H = np.linalg.inv(Tb) @ Hn @ Ta
+        return H / H[2, 2]
+
+    # --- reference driver with injected matcher + solver, raw captures
+    def ref_matcher(p1path, p2path):
+        seq = os.path.basename(os.path.dirname(p2path))
+        idx = int(os.path.splitext(os.path.basename(p2path))[0])
+        a, b = table[(seq, idx)]
+        return np.concatenate([a, b], 1), a, b
+
+    import os
+
+    captured = {}
+    monkeypatch.setattr(
+        hh.cv2, "findHomography",
+        lambda a, b, *ar, **k: (dlt(a, b), np.ones((len(a), 1), np.uint8)))
+    monkeypatch.setattr(
+        hh, "eval_summary_homography",
+        lambda sa, si, sv, th: captured.update(sa=list(sa), si=list(si),
+                                               sv=list(sv)) or 0.0)
+    monkeypatch.setattr(
+        hh, "eval_summary_matching",
+        lambda results, thres, save_npy=None:
+            captured.update(matching=results) or "")
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        hh.eval_hpatches(ref_matcher, str(root), task="both", scale_H=False,
+                         h_solver="cv", ransac_thres=3,
+                         lprint_=lambda *a, **k: None)
+
+    # --- our driver with the same injections
+    import geoformer_tpu.eval.hpatches as jh
+
+    seq_order = iter(sorted(p.name for p in root.iterdir()))
+
+    class FakeMatcher:
+        def __init__(self, *a, **k):
+            pass
+
+        def match_batch(self, imgs0, imgs1):
+            seq = next(seq_order)
+            return [(table[(seq, idx)][0], table[(seq, idx)][1],
+                     np.ones(len(p1))) for idx in range(2, 7)]
+
+    monkeypatch.setattr(jh, "BatchedMatcher", FakeMatcher)
+    monkeypatch.setattr(
+        jh, "fit_homography_np",
+        lambda p0, p2, thr, **k: (dlt(p0, p2), np.ones(len(p0), bool)))
+    out = jh.eval_hpatches(None, None, str(root), imsize=96, prewarm=False,
+                           log=lambda *a, **k: None)
+
+    # Hest: per-split corner-distance AUC and correctness, exact
+    thres = [1, 3, 5, 10]
+    np.testing.assert_allclose(
+        out["auc_a"], hh.cal_error_auc(captured["sa"], thres), rtol=1e-9)
+    np.testing.assert_allclose(
+        out["auc_i"], hh.cal_error_auc(captured["si"], thres), rtol=1e-9)
+    np.testing.assert_allclose(
+        out["auc_v"], hh.cal_error_auc(captured["sv"], thres), rtol=1e-9)
+    want_corr = np.mean([[float(d <= t) for t in thres]
+                         for d in captured["sa"]], axis=0)
+    np.testing.assert_allclose(out["correct_a"], want_corr, rtol=1e-9)
+
+    # MMA: reference normalizes i/v sums by pair counts
+    i_err, v_err, _ = captured["matching"]
+    for t in range(1, 16):
+        want = (i_err[t] + v_err[t]) / 20.0
+        np.testing.assert_allclose(out["mma_a"][t], want, rtol=1e-9,
+                                   err_msg=f"mma@{t}")
