@@ -22,10 +22,10 @@ from geoformer_tpu.eval.hpatches import fit_homography_np
 
 def _auc_curve(errors: np.ndarray, limit: int = 25) -> float:
     """Mean of per-threshold below-rate for thr = 1..limit
-    (fire_helper.py:11-42 semantics)."""
+    (fire_helper.py:11-42 semantics; note the reference's STRICT '<')."""
     if errors.size == 0:
         return 0.0
-    rates = [(errors <= t).mean() for t in range(1, limit + 1)]
+    rates = [(errors < t).mean() for t in range(1, limit + 1)]
     return float(np.mean(rates))
 
 
@@ -60,23 +60,28 @@ def eval_fire(
         if not (os.path.exists(im1p) and os.path.exists(im2p)):
             continue
         pts = np.loadtxt(gt)                      # [10, 4]: x1 y1 x2 y2
-        im1, sc1 = load_gray(im1p, imsize)
-        im2, sc2 = load_gray(im2p, imsize)
-        (mk0, mk1, mconf), = matcher.match_batch([im1], [im2])
-        # matches -> original frame
-        mk0o = mk0 * np.array(sc1)
-        mk1o = mk1 * np.array(sc2)
+        # The reference matches QUERY (_2) against REFERENCE (_1)
+        # (fire_helper.py:111-114), fits H in the RESIZED frame (thr 15
+        # resized px, the no_match_upscale path), rescales H into original
+        # frames, then warps the image-2 control points (cols 2:4) and
+        # compares against the image-1 points (cols 0:2).
+        im1, sc1 = load_gray(im1p, imsize)        # _1: reference/destination
+        im2, sc2 = load_gray(im2p, imsize)        # _2: query/source
+        (mkq, mkr, mconf), = matcher.match_batch([im2], [im1])
         n += 1
-        H, _ = fit_homography_np(mk0o.astype(np.float32),
-                                 mk1o.astype(np.float32), ransac_thr)
+        H, _ = fit_homography_np(mkq.astype(np.float32),
+                                 mkr.astype(np.float32), ransac_thr)
         if H is None:
             failed += 1
             errs[cls].append(np.inf)
             continue
-        p1 = np.concatenate([pts[:, :2], np.ones((len(pts), 1))], 1)
-        proj = p1 @ H.T
+        # resized-frame H -> original frames (fire_helper.py:141-147)
+        H = np.diag([sc1[0], sc1[1], 1.0]) @ H @ \
+            np.diag([1.0 / sc2[0], 1.0 / sc2[1], 1.0])
+        p2 = np.concatenate([pts[:, 2:4], np.ones((len(pts), 1))], 1)
+        proj = p2 @ H.T
         proj = proj[:, :2] / proj[:, 2:]
-        d = np.sqrt(((proj - pts[:, 2:4]) ** 2).sum(1))
+        d = np.sqrt(((proj - pts[:, :2]) ** 2).sum(1))
         mae, mee = d.max(), np.median(d)
         if mae > 50 or mee > 20:
             inaccurate += 1

@@ -26,6 +26,7 @@ Covered cross-implementation (reference torch code vs this framework):
  - legacy LoFTR soft-argmax fine decode + std-weighted l2 fine loss
  - the FULL HPatches benchmark protocol (driver vs driver, injected
    identical matches + solver: every aggregate equal to float precision)
+ - the FULL FIRE registration protocol (driver vs driver, same method)
 """
 
 import sys
@@ -1360,3 +1361,134 @@ def test_hpatches_driver_protocol_matches_reference(ref_modules, tmp_path,
         want = (i_err[t] + v_err[t]) / 20.0
         np.testing.assert_allclose(out["mma_a"][t], want, rtol=1e-9,
                                    err_msg=f"mma@{t}")
+
+
+def test_fire_driver_protocol_matches_reference(ref_modules, tmp_path,
+                                                monkeypatch):
+    """The FIRE registration protocol driver-vs-driver: identical injected
+    matches (resized frame, no_match_upscale semantics) and identical DLT
+    solver; per-pair control-point errors, failed/inaccurate counts and the
+    per-class AUC curves must agree exactly. Verifies the query->reference
+    match direction and the fit-in-resized-frame H rescaling."""
+    import os
+
+    import cv2 as _cv2
+
+    _stub("pydegensac", findHomography=None)
+
+    class _Tqdm:
+        def __call__(self, it, *a, **k):
+            return it
+
+    _stub("tqdm", tqdm=_Tqdm())
+    sys.path.insert(0, REF + "/eval_tool")
+    try:
+        from immatch.utils import fire_helper as fh
+    finally:
+        sys.path.remove(REF + "/eval_tool")
+
+    rng = np.random.default_rng(61)
+    root = tmp_path / "FIRE"
+    (root / "images").mkdir(parents=True)
+    (root / "ground_truth").mkdir()
+    ho, wo = 192, 256           # originals; imsize=96 -> resize scale 2
+    sc = 2.0
+    pairs = ["S01", "S02", "P01", "P02", "A01", "A02"]
+    table = {}
+    for k, pair in enumerate(pairs):
+        Ho = np.array([[1.0 + 0.02 * k, 0.01, 5.0 + k],
+                       [-0.008, 0.99, -3.0 + k],
+                       [1e-5, -1e-5, 1.0]])     # original im2 -> original im1
+        im = (rng.random((ho, wo)) * 255).astype(np.uint8)
+        _cv2.imwrite(str(root / "images" / f"{pair}_1.jpg"), im)
+        _cv2.imwrite(str(root / "images" / f"{pair}_2.jpg"), im)
+        pts2 = rng.random((10, 2)) * [wo - 40, ho - 40] + 20
+        p2h = np.concatenate([pts2, np.ones((10, 1))], 1) @ Ho.T
+        pts1 = p2h[:, :2] / p2h[:, 2:]
+        np.savetxt(str(root / "ground_truth" /
+                       f"control_points_{pair}_1_2.txt"),
+                   np.concatenate([pts1, pts2], 1))
+        # matches in RESIZED frames (query=_2 -> refer=_1)
+        Hr = np.diag([1 / sc, 1 / sc, 1.0]) @ Ho @ np.diag([sc, sc, 1.0])
+        gx, gy = np.meshgrid(np.arange(8, wo / sc - 8, 5),
+                             np.arange(8, ho / sc - 8, 5))
+        q = np.stack([gx.ravel(), gy.ravel()], -1)
+        qh = np.concatenate([q, np.ones((len(q), 1))], 1) @ Hr.T
+        r = qh[:, :2] / qh[:, 2:]
+        noise = 40.0 if pair == "A02" else 0.8  # one inaccurate pair
+        r = r + rng.uniform(-noise, noise, r.shape)
+        table[pair] = (q, r)
+
+    def dlt(p0, p2):
+        def norm(p):
+            m = p.mean(0)
+            s = np.sqrt(2) / np.mean(np.linalg.norm(p - m, axis=1))
+            T = np.array([[s, 0, -s * m[0]], [0, s, -s * m[1]], [0, 0, 1]])
+            return (np.concatenate([p, np.ones((len(p), 1))], 1) @ T.T), T
+        a, Ta = norm(np.asarray(p0, np.float64))
+        b, Tb = norm(np.asarray(p2, np.float64))
+        rows = []
+        for (x, y, _), (u, v, _) in zip(a, b):
+            rows.append([0, 0, 0, -x, -y, -1, v * x, v * y, v])
+            rows.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+        _, _, vt = np.linalg.svd(np.asarray(rows))
+        Hn = vt[-1].reshape(3, 3)
+        H = np.linalg.inv(Tb) @ Hn @ Ta
+        return H / H[2, 2]
+
+    # reference driver: matcher(query_path=_2, refer_path=_1), returns
+    # resized-frame matches + the upscale vector (no_match_upscale=True)
+    def ref_matcher(qpath, rpath):
+        pair = os.path.basename(rpath).split("_")[0]
+        q, r = table[pair]
+        return (np.concatenate([q, r], 1), q, r, np.ones(len(q)),
+                np.array([sc, sc, sc, sc]))
+
+    captured = {}
+    monkeypatch.setattr(
+        fh.cv2, "findHomography",
+        lambda a, b, *ar, **k: (dlt(a, b), np.ones((len(a), 1), np.uint8)))
+    monkeypatch.setattr(
+        fh, "eval_summary_homography",
+        lambda ss, sp, sa: captured.update(S=list(ss), P=list(sp),
+                                           A=list(sa)) or 0.0)
+    import contextlib
+    import io
+
+    match_files = sorted(os.listdir(root / "ground_truth"))
+    with contextlib.redirect_stdout(io.StringIO()):
+        fh.eval_fire(ref_matcher, match_files, str(root / "images"),
+                     str(root / "ground_truth"), task="homography",
+                     scale_H=True, h_solver="cv", ransac_thres=15,
+                     lprint_=lambda *a, **k: None)
+
+    # our driver with the same injections
+    import geoformer_tpu.eval.fire as jf
+
+    order = iter(sorted(table))
+
+    class FakeMatcher:
+        def __init__(self, *a, **k):
+            pass
+
+        def match_batch(self, q_imgs, r_imgs):
+            q, r = table[next(order)]
+            return [(q, r, np.ones(len(q)))]
+
+    monkeypatch.setattr(jf, "BatchedMatcher", FakeMatcher)
+    monkeypatch.setattr(
+        jf, "fit_homography_np",
+        lambda p0, p2, thr, **k: (dlt(p0, p2), np.ones(len(p0), bool)))
+    out = jf.eval_fire(None, None, str(root), imsize=96,
+                       log=lambda *a, **k: None)
+
+    assert out["n_pairs"] == 6 and out["failed"] == 0
+    # per-pair control-point errors identical -> identical AUC curves
+    for cls in ("S", "P", "A"):
+        want = np.asarray(captured[cls])
+        assert len(want) == 2
+        np.testing.assert_allclose(out["auc_per_class"][cls],
+                                   jf._auc_curve(want), rtol=1e-9,
+                                   err_msg=cls)
+    # the noisy A02 pair must trip the inaccurate (mae/mee) counter
+    assert out["inaccurate"] == 1
