@@ -56,15 +56,19 @@ def eval_isc(
         im2, sc2 = load_gray(r, imsize)
         n += 1
         (mk0, mk1, _), = matcher.match_batch([im1], [im2])
-        mk0o = mk0 * np.array(sc1)
-        mk1o = mk1 * np.array(sc2)
-        H, inl = fit_homography_np(mk0o.astype(np.float32),
-                                   mk1o.astype(np.float32), ransac_thr)
+        # Fit H in the RESIZED frame (RANSAC threshold in resized pixels,
+        # the reference's no_match_upscale path) and rescale H into the
+        # original frames afterwards (my_helper.py:118-129) — fitting on
+        # upscaled matches would tighten the threshold by the resize factor.
+        H, inl = fit_homography_np(mk0.astype(np.float32),
+                                   mk1.astype(np.float32), ransac_thr)
         if H is None:
             failed += 1
             dists.append(1e6)
             inlier_rates.append(0.0)
             continue
+        H = np.diag([sc2[0], sc2[1], 1.0]) @ H @ \
+            np.diag([1.0 / sc1[0], 1.0 / sc1[1], 1.0])
         pts = np.loadtxt(gd)
         raw = pts[:, :2] * np.array([w1r, h1r])
         dst = pts[:, 2:4] * np.array([w2r, h2r])

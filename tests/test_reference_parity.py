@@ -27,6 +27,7 @@ Covered cross-implementation (reference torch code vs this framework):
  - the FULL HPatches benchmark protocol (driver vs driver, injected
    identical matches + solver: every aggregate equal to float precision)
  - the FULL FIRE registration protocol (driver vs driver, same method)
+ - the FULL ISC-HE homography protocol (driver vs driver, same method)
 """
 
 import sys
@@ -1492,3 +1493,128 @@ def test_fire_driver_protocol_matches_reference(ref_modules, tmp_path,
                                    err_msg=cls)
     # the noisy A02 pair must trip the inaccurate (mae/mee) counter
     assert out["inaccurate"] == 1
+
+
+def test_isc_driver_protocol_matches_reference(ref_modules, tmp_path,
+                                               monkeypatch):
+    """The ISC-HE homography protocol driver-vs-driver (normalized GT
+    control points x image sizes, resized-frame H fit + rescale,
+    AUC@[3,5,10], mae>10/mee>5 inaccuracy rule) with identical injected
+    matches and solver."""
+    import os
+
+    import cv2 as _cv2
+
+    _stub("pydegensac", findHomography=None)
+
+    class _Tqdm:
+        def __call__(self, it, *a, **k):
+            return it
+
+    _stub("tqdm", tqdm=_Tqdm())
+    # my_helper imports sklearn/scipy bits at top for the cls mode
+    sys.path.insert(0, REF + "/eval_tool")
+    try:
+        from immatch.utils import my_helper as mh
+    finally:
+        sys.path.remove(REF + "/eval_tool")
+
+    rng = np.random.default_rng(67)
+    ho, wo = 192, 256
+    sc = 2.0                                     # imsize 96 -> resize 2x
+    for sub in ("query", "refer", "gd"):
+        (tmp_path / sub).mkdir()
+    table = {}
+    match_pairs = []
+    for k in range(5):
+        name = f"n{k}"
+        Ho = np.array([[0.99 + 0.02 * k, 0.008, 4.0 + k],
+                       [-0.006, 1.01, 2.0 - k],
+                       [1e-5, -1e-5, 1.0]])     # orig query -> orig refer
+        im = (rng.random((ho, wo)) * 255).astype(np.uint8)
+        qp = str(tmp_path / "query" / f"{name}_2.jpg")
+        rp = str(tmp_path / "refer" / f"{name}_1.jpg")
+        gp = str(tmp_path / "gd" / f"{name}_2-{name}_1.txt")
+        _cv2.imwrite(qp, im)
+        _cv2.imwrite(rp, im)
+        raw = rng.random((10, 2)) * 0.8 + 0.1    # normalized query pts
+        rq = raw * [wo, ho]
+        rh = np.concatenate([rq, np.ones((10, 1))], 1) @ Ho.T
+        dst = (rh[:, :2] / rh[:, 2:]) / [wo, ho]
+        np.savetxt(gp, np.concatenate([raw, dst], 1))
+        match_pairs.append((qp, rp, gp))
+        Hr = np.diag([1 / sc, 1 / sc, 1.0]) @ Ho @ np.diag([sc, sc, 1.0])
+        gx, gy = np.meshgrid(np.arange(8, wo / sc - 8, 5),
+                             np.arange(8, ho / sc - 8, 5))
+        q = np.stack([gx.ravel(), gy.ravel()], -1)
+        qh = np.concatenate([q, np.ones((len(q), 1))], 1) @ Hr.T
+        r = qh[:, :2] / qh[:, 2:]
+        r = r + rng.uniform(-0.5, 0.5, r.shape)
+        if k == 3:                               # one inaccurate pair
+            r = r + np.array([9.0, -7.0])        # biased matches -> biased H
+        table[name] = (q, r)
+
+    def dlt(p0, p2):
+        def norm(p):
+            m = p.mean(0)
+            s = np.sqrt(2) / np.mean(np.linalg.norm(p - m, axis=1))
+            T = np.array([[s, 0, -s * m[0]], [0, s, -s * m[1]], [0, 0, 1]])
+            return (np.concatenate([p, np.ones((len(p), 1))], 1) @ T.T), T
+        a, Ta = norm(np.asarray(p0, np.float64))
+        b, Tb = norm(np.asarray(p2, np.float64))
+        rows = []
+        for (x, y, _), (u, v, _) in zip(a, b):
+            rows.append([0, 0, 0, -x, -y, -1, v * x, v * y, v])
+            rows.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+        _, _, vt = np.linalg.svd(np.asarray(rows))
+        Hn = vt[-1].reshape(3, 3)
+        H = np.linalg.inv(Tb) @ Hn @ Ta
+        return H / H[2, 2]
+
+    def ref_matcher(qpath, rpath):
+        name = os.path.basename(qpath).split("_")[0]
+        q, r = table[name]
+        return (np.concatenate([q, r], 1), q, r, np.ones(len(q)),
+                np.array([sc, sc, sc, sc]))
+
+    captured = {}
+    monkeypatch.setattr(
+        mh.cv2, "findHomography",
+        lambda a, b, *ar, **k: (dlt(a, b), np.ones((len(a), 1), np.uint8)))
+    monkeypatch.setattr(
+        mh, "eval_summary_homography",
+        lambda dists, th: captured.update(dists=list(dists)) or 0.0)
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        mh.eval_homography_my(ref_matcher, match_pairs, task="homography",
+                              scale_H=True, h_solver="cv", ransac_thres=3,
+                              lprint_=lambda *a, **k: None)
+
+    import geoformer_tpu.eval.isc as ji
+
+    order = iter(sorted(table))
+
+    class FakeMatcher:
+        def __init__(self, *a, **k):
+            pass
+
+        def match_batch(self, qs, rs):
+            q, r = table[next(order)]
+            return [(q, r, np.ones(len(q)))]
+
+    monkeypatch.setattr(ji, "BatchedMatcher", FakeMatcher)
+    monkeypatch.setattr(
+        ji, "fit_homography_np",
+        lambda p0, p2, thr, **k: (dlt(p0, p2), np.ones(len(p0), bool)))
+    out = ji.eval_isc(None, None, str(tmp_path), imsize=96,
+                      log=lambda *a, **k: None)
+
+    assert out["n_pairs"] == 5 and out["failed"] == 0
+    assert out["inaccurate"] == 1
+    from geoformer_tpu.eval.metrics import cal_error_auc
+
+    # cv2.perspectiveTransform vs the plain matmul differ at ~1e-8
+    np.testing.assert_allclose(
+        out["auc"], cal_error_auc(captured["dists"], [3, 5, 10]), rtol=1e-6)
