@@ -28,6 +28,7 @@ Covered cross-implementation (reference torch code vs this framework):
    identical matches + solver: every aggregate equal to float precision)
  - the FULL FIRE registration protocol (driver vs driver, same method)
  - the FULL ISC-HE homography protocol (driver vs driver, same method)
+ - eval image loading (min-edge resize, /8 floor, scales, pixel content)
 """
 
 import sys
@@ -1618,3 +1619,42 @@ def test_isc_driver_protocol_matches_reference(ref_modules, tmp_path,
     # cv2.perspectiveTransform vs the plain matmul differ at ~1e-8
     np.testing.assert_allclose(
         out["auc"], cal_error_auc(captured["dists"], [3, 5, 10]), rtol=1e-6)
+
+
+def test_image_loader_matches_reference_code(ref_modules, tmp_path):
+    """Eval-time image loading (min-edge resize, /8 floor, scale factors,
+    resized pixel content) vs the reference's data_io loader."""
+    import cv2 as _cv2
+
+    _stub("torchvision.transforms", functional=None)
+    sys.path.insert(0, REF + "/eval_tool")
+    try:
+        from immatch.utils.data_io import resize_im
+    finally:
+        sys.path.remove(REF + "/eval_tool")
+
+    from geoformer_tpu.eval.matcher import load_gray, resize_shape
+
+    rng = np.random.default_rng(71)
+    # shape/scale semantics across a sweep incl. no-resize and odd sizes
+    for _ in range(200):
+        wo = int(rng.integers(40, 2000))
+        ho = int(rng.integers(40, 2000))
+        imsize = int(rng.choice([0, 240, 480, 768, 1024]))
+        wt_r, ht_r, sc_r = resize_im(wo, ho, imsize=imsize or None,
+                                     dfactor=8, value_to_scale=min)
+        wt_j, ht_j, sc_j = resize_shape(wo, ho, imsize or None)
+        assert (wt_j, ht_j) == (wt_r, ht_r), (wo, ho, imsize)
+        np.testing.assert_allclose(sc_j, sc_r)
+
+    # resized pixel content (both use cv2 grayscale + cv2.resize bilinear)
+    im = (rng.random((123, 217)) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    _cv2.imwrite(p, im)
+    got, sc = load_gray(p, 96)
+    wt, ht, sc_ref = resize_im(217, 123, imsize=96, dfactor=8,
+                               value_to_scale=min)
+    want = _cv2.resize(_cv2.imread(p, _cv2.IMREAD_GRAYSCALE),
+                       (wt, ht)).astype(np.float32) / 255.0
+    np.testing.assert_allclose(np.asarray(got), want)
+    np.testing.assert_allclose(sc, sc_ref)
