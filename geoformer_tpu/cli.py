@@ -183,6 +183,17 @@ def cmd_infer(args):
         print(f"saved -> {args.out}")
 
 
+def cmd_export(args):
+    from geoformer_tpu.serving import save_bundle
+
+    cfg, params = _model_and_params(args)
+    platforms = args.platforms.split(",") if args.platforms else None
+    save_bundle(args.out, cfg, params, hw=(args.height, args.width),
+                batch=args.batch, platforms=platforms)
+    print(f"serving bundle ({args.batch}x{args.height}x{args.width}, "
+          f"platforms={platforms or 'current backend'}) -> {args.out}")
+
+
 def cmd_localize(args):
     from geoformer_tpu.eval.localize_driver import (
         load_pairs_txt,
@@ -383,6 +394,21 @@ def main():
     sl.add_argument("--out", default=None, help="trajectory txt output")
     common(sl)
     sl.set_defaults(fn=cmd_slam)
+
+    ex = sub.add_parser(
+        "export",
+        help="AOT-export a self-contained serving bundle (StableHLO + "
+             "weights; reloads with geoformer_tpu.serving.load_bundle "
+             "without any model code)")
+    ex.add_argument("--out", default="matcher.gfmz")
+    ex.add_argument("--height", type=int, default=480)
+    ex.add_argument("--width", type=int, default=640)
+    ex.add_argument("--batch", type=int, default=1)
+    ex.add_argument("--platforms", default=None,
+                    help="comma-separated lowering targets, e.g. tpu,cpu "
+                         "(default: current backend)")
+    common(ex)
+    ex.set_defaults(fn=cmd_export)
 
     i = sub.add_parser("infer")
     i.add_argument("image0")
