@@ -348,12 +348,18 @@ def _box_fwd_tiled_kernel(c_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 scale * mask_fill + jnp.log(jnp.float32(n_s * ts)))
 
 
-def _box_bwd_kernel(c_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                    dq_ref, dk_ref, dv_ref, *, nhead: int, radius: int,
-                    wd: int, hd_grid: int, ts: int, mask_fill: float):
-    """Flash backward over a (batch, kv-tile, query-tile) grid: attention is
-    recomputed blockwise from the saved LSE; dq accumulates across kv tiles,
-    dk/dv across query tiles. All blocks are small (TL/TS x head_dim)."""
+def _box_bwd_dkv_kernel(c_ref, q_ref, k_ref, v_ref, g_ref, lse_ref,
+                        delta_ref, dk_ref, dv_ref, *, nhead: int,
+                        radius: int, wd: int, hd_grid: int, ts: int,
+                        mask_fill: float):
+    """dk/dv half of the flash backward, grid (batch, kv-tile, query-tile):
+    attention is recomputed blockwise from the saved LSE and dk/dv accumulate
+    across query tiles. The accumulated (kv-tile) output block is revisited
+    on CONSECUTIVE grid steps because the query tile is the innermost grid
+    dimension — Pallas TPU only keeps an output block resident across
+    consecutive steps, which is why dq (accumulated across kv tiles) lives in
+    its own kernel with the transposed grid instead of a third output here.
+    All blocks are small (TL/TS x head_dim)."""
     st = pl.program_id(1)
     lt = pl.program_id(2)
 
@@ -361,10 +367,6 @@ def _box_bwd_kernel(c_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     def _init_kv():
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
-
-    @pl.when(st == 0)
-    def _init_q():
-        dq_ref[...] = jnp.zeros_like(dq_ref)
 
     hd = q_ref.shape[2]
     d = hd // nhead
@@ -374,7 +376,7 @@ def _box_bwd_kernel(c_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
     # Same box-sparsity skip as the tiled forward: if this kv tile's dest-row
     # span misses every query's [cy-r, cy+r] band, every attn entry is 0 and
-    # all six matmuls contribute nothing — skip them.
+    # all four matmuls contribute nothing — skip them.
     row_lo = st * ts // wd
     row_hi = (st * ts + ts - 1) // wd
     overlap = jnp.logical_and(jnp.max(cy) + radius >= row_lo,
@@ -408,11 +410,60 @@ def _box_bwd_kernel(c_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                 preferred_element_type=jnp.float32)
             delta = delta_ref[0, :, h][:, None]
             dl = attn * (d_attn - delta) * scale
-            dq_ref[0, :, sl] += jnp.dot(dl, kh,
-                                        preferred_element_type=jnp.float32)
             dk_ref[0, :, sl] += jax.lax.dot_general(
                 dl, qh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+
+
+def _box_bwd_dq_kernel(c_ref, q_ref, k_ref, v_ref, g_ref, lse_ref,
+                       delta_ref, dq_ref, *, nhead: int, radius: int,
+                       wd: int, hd_grid: int, ts: int, mask_fill: float):
+    """dq half of the flash backward, grid (batch, query-tile, kv-tile): the
+    kv tile is the innermost grid dimension so the accumulated dq block is
+    revisited on consecutive steps (see _box_bwd_dkv_kernel's docstring for
+    why the two halves need transposed grids)."""
+    st = pl.program_id(2)
+
+    @pl.when(st == 0)
+    def _init_q():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    hd = q_ref.shape[2]
+    d = hd // nhead
+    scale = 1.0 / (d ** 0.5)
+    cx = c_ref[0, :, 0][:, None]
+    cy = c_ref[0, :, 1][:, None]
+
+    row_lo = st * ts // wd
+    row_hi = (st * ts + ts - 1) // wd
+    overlap = jnp.logical_and(jnp.max(cy) + radius >= row_lo,
+                              jnp.min(cy) - radius <= row_hi)
+
+    @pl.when(overlap)
+    def _tile_work():
+        sidx = st * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
+        box = _box_mask(cx, cy, sidx % wd, sidx // wd, radius)  # [TL, TS]
+        row_ok = ((cx + radius >= 0) & (cx - radius <= wd - 1)
+                  & (cy + radius >= 0) & (cy - radius <= hd_grid - 1))
+        for h in range(nhead):
+            sl = slice(h * d, (h + 1) * d)
+            qh = q_ref[0, :, sl]                             # [TL, D]
+            kh = k_ref[0, :, sl]                             # [TS, D]
+            vh = v_ref[0, :, sl]
+            gh = g_ref[0, :, sl]
+            logits = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [TL, TS]
+            lse = lse_ref[0, :, h][:, None]
+            attn = jnp.where(box & row_ok,
+                             jnp.exp(scale * logits - lse), 0.0)
+            d_attn = jax.lax.dot_general(
+                gh, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            delta = delta_ref[0, :, h][:, None]
+            dl = attn * (d_attn - delta) * scale
+            dq_ref[0, :, sl] += jnp.dot(dl, kh,
+                                        preferred_element_type=jnp.float32)
 
 
 def box_attention_reference(q, k, v, centers, grid_hw, radius,
@@ -569,28 +620,51 @@ def _box_bwd_pallas(q, k, v, centers, g, out, lse, grid_hw, radius,
     vf = v.reshape(b, s, h * d)
     gf = g.reshape(b, l, h * d).astype(jnp.float32)
 
+    # dk/dv: query tile innermost (accumulated kv blocks revisited
+    # consecutively).
     q_spec = pl.BlockSpec((1, tl, h * d), lambda bi, si, li: (bi, li, 0),
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, ts, h * d), lambda bi, si, li: (bi, si, 0),
                            memory_space=pltpu.VMEM)
     lh_spec = pl.BlockSpec((1, tl, h), lambda bi, si, li: (bi, li, 0),
                            memory_space=pltpu.VMEM)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_box_bwd_kernel, nhead=h, radius=radius,
-                          wd=grid_hw[1], hd_grid=grid_hw[0], ts=ts,
-                          mask_fill=mask_fill),
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _box_bwd_dkv_kernel, nhead=h, radius=radius, wd=grid_hw[1],
+            hd_grid=grid_hw[0], ts=ts, mask_fill=mask_fill),
         grid=(b, s // ts, l // tl),
         in_specs=[
             pl.BlockSpec((1, tl, 2), lambda bi, si, li: (bi, li, 0),
                          memory_space=pltpu.VMEM),
             q_spec, kv_spec, kv_spec, q_spec, lh_spec, lh_spec,
         ],
-        out_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[kv_spec, kv_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, l, h * d), jnp.float32),
             jax.ShapeDtypeStruct((b, s, h * d), jnp.float32),
             jax.ShapeDtypeStruct((b, s, h * d), jnp.float32),
         ],
+        interpret=interpret,
+    )(centers, qf, kf, vf, gf, lse, delta)
+
+    # dq: kv tile innermost (accumulated q blocks revisited consecutively).
+    q_spec2 = pl.BlockSpec((1, tl, h * d), lambda bi, li, si: (bi, li, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, ts, h * d), lambda bi, li, si: (bi, si, 0),
+                            memory_space=pltpu.VMEM)
+    lh_spec2 = pl.BlockSpec((1, tl, h), lambda bi, li, si: (bi, li, 0),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_box_bwd_dq_kernel, nhead=h, radius=radius,
+                          wd=grid_hw[1], hd_grid=grid_hw[0], ts=ts,
+                          mask_fill=mask_fill),
+        grid=(b, l // tl, s // ts),
+        in_specs=[
+            pl.BlockSpec((1, tl, 2), lambda bi, li, si: (bi, li, 0),
+                         memory_space=pltpu.VMEM),
+            q_spec2, kv_spec2, kv_spec2, q_spec2, lh_spec2, lh_spec2,
+        ],
+        out_specs=q_spec2,
+        out_shape=jax.ShapeDtypeStruct((b, l, h * d), jnp.float32),
         interpret=interpret,
     )(centers, qf, kf, vf, gf, lse, delta)
     return (dq.reshape(b, l, h, d).astype(q.dtype),

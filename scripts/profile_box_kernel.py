@@ -58,7 +58,10 @@ def main():
     from geoformer_tpu.ops.pallas_attention import (
         _box_bwd_pallas,
         _box_forward,
+        box_attention_reference,
     )
+
+    failures = []
 
     dt = jnp.float32 if args.f32 else jnp.bfloat16
     B, hg, wg, h, d, r = args.batch, 60, 80, 8, 32, 2
@@ -95,6 +98,7 @@ def main():
         _box_forward, grid_hw=(hg, wg), radius=r, mask_fill=-1e8,
         q_tile=args.q_tile, kv_tile=args.kv_tile, force_tiled=True))
 
+    fwd_tol = 1e-3 if args.f32 else 0.1
     for label, centers in (("warped-real", centers_real),
                            ("random-worstcase", centers_rand)):
         tw, (ow, lw) = timeit(fwd_whole, q, k, v, centers)
@@ -105,6 +109,8 @@ def main():
         print(f"fwd  {label:<18} whole-KV {tw:7.2f} ms   tiled+skip "
               f"{tt:7.2f} ms   |out diff| {diff:.2e}  |lse diff| {ldiff:.2e}",
               flush=True)
+        if diff > fwd_tol or ldiff > fwd_tol * 10:
+            failures.append(f"fwd {label}: out {diff:.2e} lse {ldiff:.2e}")
 
     # backward (shared by both forwards)
     g = jnp.asarray(rng.normal(size=(B, s, h, d)), dt)
@@ -116,6 +122,43 @@ def main():
             q_tile=args.q_tile, kv_tile=args.kv_tile))
         tb, _ = timeit(bwd, q, k, v, centers, g, out, lse)
         print(f"bwd  {label:<18} tiled+skip {tb:7.2f} ms", flush=True)
+
+    # --- backward NUMERICS on hardware, vs the jnp reference VJP ---
+    # Small enough that the dense [B, L, S, H] reference fits HBM, but
+    # multi-tile in BOTH grid dims (q and kv), which is what interpret-mode
+    # tests cannot exercise: Pallas TPU only preserves accumulated output
+    # blocks across CONSECUTIVE grid steps, so a wrong grid order shows up
+    # only here (it corrupts dq silently on real hardware).
+    hg2, wg2 = 24, 32
+    s2 = hg2 * wg2                       # 768 -> 6 kv tiles of 128
+    q2 = jnp.asarray(rng.normal(size=(1, s2, h, d)), jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(1, s2, h, d)), jnp.float32)
+    v2 = jnp.asarray(rng.normal(size=(1, s2, h, d)), jnp.float32)
+    g2 = jnp.asarray(rng.normal(size=(1, s2, h, d)), jnp.float32)
+    c2 = jnp.asarray(
+        np.stack([rng.integers(-2, wg2 + 2, (1, s2)),
+                  rng.integers(-2, hg2 + 2, (1, s2))], -1), jnp.int32)
+    out2, lse2 = jax.jit(functools.partial(
+        _box_forward, grid_hw=(hg2, wg2), radius=r, mask_fill=-1e8,
+        q_tile=96, kv_tile=128, force_tiled=True))(q2, k2, v2, c2)
+    got = _box_bwd_pallas(q2, k2, v2, c2, g2, out2, lse2, (hg2, wg2), r,
+                          -1e8, 96, 128)
+    _, vjp = jax.vjp(lambda a, b_, c: box_attention_reference(
+        a, b_, c, c2, (hg2, wg2), r, -1e8), q2, k2, v2)
+    ref = vjp(g2)
+    names = ("dq", "dk", "dv")
+    for name, a, b_ in zip(names, got, ref):
+        scale_ref = float(jnp.abs(b_).max()) or 1.0
+        rel = float(jnp.abs(a.astype(jnp.float32)
+                            - b_.astype(jnp.float32)).max()) / scale_ref
+        print(f"bwd numerics  {name}: max rel err {rel:.2e}", flush=True)
+        if rel > 1e-4:
+            failures.append(f"bwd {name}: rel err {rel:.2e}")
+
+    if failures:
+        print("NUMERICS FAILURES:\n  " + "\n  ".join(failures), flush=True)
+        sys.exit(1)
+    print("numerics OK", flush=True)
 
 
 if __name__ == "__main__":
