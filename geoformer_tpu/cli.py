@@ -115,33 +115,47 @@ def cmd_train_depth(args):
     )
 
 
+# Per-benchmark reference protocols (imsize, RANSAC thr in resized px):
+# hpatches eval_configs/geoformer.yml:7-11; FIRE runs at 768/15
+# (eval_FIRE.py protocol); ISC at 480/3 (my_helper.py).
+_EVAL_PROTOCOLS = {
+    "hpatches": (480, 3.0),
+    "fire": (768, 15.0),
+    "isc": (480, 3.0),
+    "isc-cls": (480, 3.0),
+}
+
+
 def cmd_eval(args):
+    # --imsize/--ransac-thr default to the benchmark's reference protocol
+    # (they parse as None unless the user overrides them).
+    proto = _EVAL_PROTOCOLS[args.benchmark]
+    imsize = proto[0] if args.imsize is None else args.imsize
+    ransac_thr = proto[1] if args.ransac_thr is None else args.ransac_thr
     cfg, params = _model_and_params(args)
     if args.benchmark == "hpatches":
         from geoformer_tpu.eval.hpatches import eval_hpatches
 
-        out = eval_hpatches(params, cfg, args.data, imsize=args.imsize,
-                            ransac_thr=args.ransac_thr,
+        out = eval_hpatches(params, cfg, args.data, imsize=imsize,
+                            ransac_thr=ransac_thr,
                             max_seqs=args.max_seqs)
     elif args.benchmark == "fire":
         from geoformer_tpu.eval.fire import eval_fire
 
-        out = eval_fire(params, cfg, args.data, imsize=args.imsize or 768,
-                        ransac_thr=args.ransac_thr or 15.0)
+        out = eval_fire(params, cfg, args.data, imsize=imsize,
+                        ransac_thr=ransac_thr)
     elif args.benchmark == "isc":
         from geoformer_tpu.eval.isc import eval_isc
 
-        out = eval_isc(params, cfg, args.data, imsize=args.imsize,
-                       ransac_thr=args.ransac_thr)
-    elif args.benchmark == "isc-cls":
+        out = eval_isc(params, cfg, args.data, imsize=imsize,
+                       ransac_thr=ransac_thr)
+    else:
         from geoformer_tpu.eval.isc import eval_isc_classification
 
         # --data is a txt of `query refer label` lines (my_helper.py:225-324)
         out = eval_isc_classification(params, cfg, args.data,
-                                      imsize=args.imsize,
-                                      ransac_thr=args.ransac_thr)
-    else:
-        raise SystemExit(f"unknown benchmark {args.benchmark}")
+                                      imsize=imsize,
+                                      ransac_thr=ransac_thr)
     print(json.dumps(out, indent=2, default=float))
 
 
@@ -187,7 +201,8 @@ def cmd_export(args):
     from geoformer_tpu.serving import save_bundle
 
     cfg, params = _model_and_params(args)
-    platforms = args.platforms.split(",") if args.platforms else None
+    platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
+                 if args.platforms else None)
     save_bundle(args.out, cfg, params, hw=(args.height, args.width),
                 batch=args.batch, platforms=platforms)
     print(f"serving bundle ({args.batch}x{args.height}x{args.width}, "
@@ -358,10 +373,14 @@ def main():
     e.add_argument("benchmark", choices=["hpatches", "fire", "isc",
                                          "isc-cls"])
     e.add_argument("--data", required=True)
-    e.add_argument("--ransac-thr", type=float, default=3.0)
+    e.add_argument("--ransac-thr", type=float, default=None,
+                   help="RANSAC threshold in resized px "
+                        "(default: the benchmark's reference protocol)")
     e.add_argument("--max-seqs", type=int, default=None)
     common(e)
-    e.set_defaults(fn=cmd_eval)
+    # common() defaults --imsize to 480; eval derives per-benchmark protocol
+    # defaults (hpatches/isc 480, FIRE 768) from None instead.
+    e.set_defaults(fn=cmd_eval, imsize=None)
 
     lz = sub.add_parser("localize",
                         help="Aachen-style visual localization end-to-end")

@@ -82,23 +82,35 @@ def eval_hpatches(
         from geoformer_tpu.eval.matcher import resize_shape
 
         def resized(path):
-            from PIL import Image
+            try:  # PIL reads just the header; cv2 fallback loads pixels
+                from PIL import Image
 
-            with Image.open(path) as im:
-                wo, ho = im.size
+                with Image.open(path) as im:
+                    wo, ho = im.size
+            except ImportError:
+                import cv2
+
+                ho, wo = cv2.imread(path, cv2.IMREAD_GRAYSCALE).shape
             wt, ht, _ = resize_shape(wo, ho, imsize)
             return (ht, wt)
 
+        # One census entry PER SEQUENCE: the eval loop below calls
+        # match_batch once per sequence, which pads every pair to the
+        # sequence's elementwise-max bucket — a shape no individual pair
+        # need land in. Aggregating here keeps the guarantee that no
+        # compile happens inside the timed loop.
         pair_shapes = []
         for seq_dir in seq_dirs:
             p1 = os.path.join(seq_dir, "1.ppm")
             if not os.path.exists(p1):
                 continue
-            s1 = resized(p1)
+            shapes = [resized(p1)]
             for idx in range(2, 7):
                 p2 = os.path.join(seq_dir, f"{idx}.ppm")
                 if os.path.exists(p2):
-                    pair_shapes.append((s1, resized(p2)))
+                    shapes.append(resized(p2))
+            joint = (max(h for h, _ in shapes), max(w for _, w in shapes))
+            pair_shapes.append((joint, joint))
         matcher.prewarm(pair_shapes, log=log)
 
     dists_all, dists_i, dists_v = [], [], []

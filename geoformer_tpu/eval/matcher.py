@@ -37,7 +37,12 @@ def resize_shape(wo: int, ho: int, imsize: Optional[int], dfactor: int = 8,
 
 def ratio_preserving_resize(im: np.ndarray, target_hw) -> np.ndarray:
     """Resize keeping aspect ratio (max scale), then center-crop/pad to
-    target (reference: utils/homography.py:698-720, minus the imgaug dep)."""
+    target (reference: utils/homography.py:698-720, minus the imgaug dep).
+
+    Parity API only: the reference uses this in its SuperPoint-style data
+    tooling, not in any benchmark loader — the benchmark image path here is
+    load_gray/resize_shape (resize_im semantics). Exposed so migrating
+    users keep the function; nothing in the eval pipeline calls it."""
     import cv2
 
     th, tw = target_hw

@@ -220,25 +220,29 @@ def load_cameras_from_database(db_path: str) -> Dict[int, dict]:
             for cid, model, w, h, params in rows}
 
 
-def load_cameras_from_intrinsics_txt(path: str, camera_ids: Dict[str, int]
-                                     ) -> Dict[int, dict]:
-    """Aachen database_intrinsics.txt: `name MODEL w h params...` per line
-    (data_parsing.py load_cameras_from_intrinsics_and_ids equivalent)."""
-    out = {}
+def _iter_intrinsics_lines(path: str):
+    """Yield (name, camera_dict) per `name MODEL w h params...` line — the
+    Aachen intrinsics/queries text format shared by database_intrinsics.txt
+    and the query lists."""
     with open(path) as f:
         for line in f:
             el = line.split()
             if not el:
                 continue
-            name = el[0]
-            if name not in camera_ids:
-                continue
-            out[camera_ids[name]] = {
+            yield el[0], {
                 "model_id": CAMERA_MODEL_IDS[el[1]],
                 "width": int(el[2]), "height": int(el[3]),
                 "params": np.array(el[4:], np.float64),
             }
-    return out
+
+
+def load_cameras_from_intrinsics_txt(path: str, camera_ids: Dict[str, int]
+                                     ) -> Dict[int, dict]:
+    """Aachen database_intrinsics.txt keyed by db camera id
+    (data_parsing.py load_cameras_from_intrinsics_and_ids equivalent)."""
+    return {camera_ids[name]: cam
+            for name, cam in _iter_intrinsics_lines(path)
+            if name in camera_ids}
 
 
 def create_empty_model_from_nvm_and_database(
@@ -395,18 +399,7 @@ def triangulate_model(
 
 def parse_queries_with_intrinsics(path: str) -> Dict[str, dict]:
     """`name MODEL w h params...` per line (Aachen queries format)."""
-    out = {}
-    with open(path) as f:
-        for line in f:
-            el = line.split()
-            if not el:
-                continue
-            out[el[0]] = {
-                "model_id": CAMERA_MODEL_IDS[el[1]],
-                "width": int(el[2]), "height": int(el[3]),
-                "params": np.array(el[4:], np.float64),
-            }
-    return out
+    return dict(_iter_intrinsics_lines(path))
 
 
 def localize_queries(

@@ -32,6 +32,7 @@ from geoformer_tpu.data.megadepth import scene_balanced_stream
 from geoformer_tpu.eval.pose import pose_error_for_pair
 from geoformer_tpu.train.checkpoint import (
     restore_checkpoint,
+    save_checkpoint,
     save_checkpoint_monitored,
     save_params,
 )
@@ -200,19 +201,27 @@ def run_depth_training(
                 log(m)
             run_val = val_batches and (
                 (step + 1) % val_every == 0 or step + 1 == steps)
+            # Two retention policies, two directories: the top-k-by-auc@10
+            # manager (ckpt_dir/best, Lightning save_top_k semantics) deletes
+            # steps the moment five better ones exist, so --resume must NOT
+            # read it — a late-but-worse step would silently roll training
+            # back. The plain rolling "latest" in ckpt_dir is what
+            # restore_checkpoint reads.
             if run_val:
                 agg = run_depth_validation(val_fn, state, val_batches,
                                            jax.random.key(0))
                 agg["step"] = step + 1
                 log(agg)
-                save_checkpoint_monitored(ckpt_dir, jax.device_get(state),
-                                          step + 1, agg, monitor="auc@10")
+                host_state = jax.device_get(state)
+                save_checkpoint(ckpt_dir, host_state, step + 1, keep=3)
+                save_checkpoint_monitored(os.path.join(ckpt_dir, "best"),
+                                          host_state, step + 1, agg,
+                                          monitor="auc@10")
                 if agg["auc@10"] > best["auc@10"]:
                     best = agg
             elif (step + 1) % ckpt_every == 0 or step + 1 == steps:
-                save_checkpoint_monitored(
-                    ckpt_dir, jax.device_get(state), step + 1,
-                    {"auc@10": -1.0}, monitor="auc@10")
+                save_checkpoint(ckpt_dir, jax.device_get(state), step + 1,
+                                keep=3)
 
     if jax.process_index() == 0:
         save_params(os.path.join(ckpt_dir, "params_final.pkl"), {

@@ -140,3 +140,34 @@ def test_monitored_checkpoint_keeps_best(tmp_path):
                       opt_state={}, step=jnp.asarray(0, jnp.int32))
     st = restore_checkpoint(out, tmpl)
     assert int(st.step) == 4
+
+
+def test_resume_reads_newest_not_best(tmp_path):
+    """The depth loop's two-directory layout: --resume restores the plain
+    rolling 'latest' (ckpt_dir) even when every recent step validates worse
+    than older ones in the monitored top-k dir (ckpt_dir/best) — a resume
+    must never silently roll training back to a 'better' older step."""
+    import jax.numpy as jnp
+
+    from geoformer_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+        save_checkpoint_monitored,
+    )
+    from geoformer_tpu.train.trainer import TrainState
+
+    out = str(tmp_path / "ck")
+    # step 2 validates best; steps 3-5 regress. The monitored dir keeps 2,
+    # the plain dir keeps the newest regardless of metric.
+    for step, auc in {1: 0.2, 2: 0.9, 3: 0.4, 4: 0.3, 5: 0.1}.items():
+        st = TrainState(params={"w": jnp.full((2,), float(step))},
+                        batch_stats={}, opt_state={},
+                        step=jnp.asarray(step, jnp.int32))
+        save_checkpoint(out, st, step, keep=3)
+        save_checkpoint_monitored(os.path.join(out, "best"), st, step,
+                                  {"auc@10": auc}, keep=1)
+    tmpl = TrainState(params={"w": jnp.zeros((2,))}, batch_stats={},
+                      opt_state={}, step=jnp.asarray(0, jnp.int32))
+    assert int(restore_checkpoint(out, tmpl).step) == 5
+    assert int(restore_checkpoint(os.path.join(out, "best"),
+                                  tmpl).step) == 2
