@@ -76,6 +76,7 @@ def cmd_train(args):
         val_every=args.val_every,
         tensorboard=args.tensorboard,
         texture_style=args.texture_style,
+        image_fraction=args.data_mix,
         log_figures=args.log_figures,
     )
 
@@ -312,6 +313,9 @@ def main():
 
     t = sub.add_parser("train")
     t.add_argument("--data", default=None, help="image dir (else procedural)")
+    t.add_argument("--data-mix", type=float, default=1.0,
+                   help="with --data: per-sample probability of drawing from "
+                        "the image dir (rest procedural); 1.0 = images only")
     t.add_argument("--steps", type=int, default=1000)
     t.add_argument("--batch", type=int, default=8)
     t.add_argument("--height", type=int, default=480)

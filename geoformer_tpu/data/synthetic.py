@@ -266,32 +266,59 @@ def make_pair_batch(base: jax.Array, key: jax.Array, coarse_scale: int = 8):
             "mask0": m0, "mask1": m1}
 
 
+def _procedural_bank(hw: Tuple[int, int], seed: int,
+                     texture_style: str,
+                     rng: np.random.Generator) -> np.ndarray:
+    """[n, H, W] procedural bank (C++ fast path, numpy fallback)."""
+    from geoformer_tpu.data.native import (
+        native_textures,
+        native_textures_mixed,
+    )
+
+    gen = (native_textures_mixed if texture_style == "mixed"
+           else native_textures)
+    bank = gen(256, hw[0], hw[1], seed)  # C++ fast path
+    if bank is None:
+        bank = (mixed_texture_bank(rng, hw, 64)
+                if texture_style == "mixed"
+                else np.stack([procedural_texture(rng, hw)
+                               for _ in range(64)]))
+    return bank
+
+
 def base_image_stream(hw: Tuple[int, int], batch: int, seed: int = 0,
                       image_dir: Optional[str] = None,
-                      texture_style: str = "mixed") -> Iterator[np.ndarray]:
+                      texture_style: str = "mixed",
+                      image_fraction: float = 1.0) -> Iterator[np.ndarray]:
     """Endless stream of [batch, H, W] base images (dataset dir or procedural).
 
     texture_style: "mixed" (default; structured + dead-leaves + fBm — closes
     the measured real-photo domain gap, RESULTS.md) or "structured" (the
     round-1/2 single-family bank, kept for comparability).
+
+    image_fraction: when ``image_dir`` is given, the per-sample probability
+    of drawing from the image bank; the rest comes from the procedural bank.
+    1.0 (default) keeps the reference HomoDataset semantics (dataset images
+    only, HomoDataset.py:30-60); fractions in (0, 1) blend a small real-image
+    corpus with procedural textures so a few dozen photos don't collapse the
+    training distribution's diversity.
     """
     rng = np.random.default_rng(seed)
-    bank = load_image_dir(image_dir, hw) if image_dir else None
-    if bank is None:
-        from geoformer_tpu.data.native import (
-            native_textures,
-            native_textures_mixed,
-        )
-
-        gen = (native_textures_mixed if texture_style == "mixed"
-               else native_textures)
-        bank = gen(256, hw[0], hw[1], seed)  # C++ fast path
-        if bank is None:
-            bank = (mixed_texture_bank(rng, hw, 64)
-                    if texture_style == "mixed"
-                    else np.stack([procedural_texture(rng, hw)
-                                   for _ in range(64)]))
-    n = len(bank)
+    img_bank = load_image_dir(image_dir, hw) if image_dir else None
+    if img_bank is None:
+        img_bank, image_fraction = None, 0.0
+    proc_bank = (None if image_fraction >= 1.0
+                 else _procedural_bank(hw, seed, texture_style, rng))
     while True:
-        idx = rng.integers(0, n, size=batch)
-        yield bank[idx]
+        if proc_bank is None:
+            yield img_bank[rng.integers(0, len(img_bank), size=batch)]
+        elif img_bank is None or image_fraction <= 0.0:
+            yield proc_bank[rng.integers(0, len(proc_bank), size=batch)]
+        else:
+            use_img = rng.random(batch) < image_fraction
+            out = proc_bank[rng.integers(0, len(proc_bank), size=batch)].copy()
+            n_img = int(use_img.sum())
+            if n_img:
+                out[use_img] = img_bank[
+                    rng.integers(0, len(img_bank), size=n_img)]
+            yield out

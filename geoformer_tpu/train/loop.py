@@ -56,6 +56,7 @@ def run_training(
     val_every: int = 0,
     tensorboard: bool = False,
     texture_style: str = "mixed",
+    image_fraction: float = 1.0,
     log_figures: bool = False,
 ):
     devices = np.array(jax.devices())
@@ -96,14 +97,16 @@ def run_training(
 
     data_sh = NamedSharding(mesh, P("data"))
     stream = base_image_stream(image_hw, batch_size, seed, image_dir,
-                               texture_style=texture_style)
+                               texture_style=texture_style,
+                               image_fraction=image_fraction)
     pair_key = jax.random.key(seed + 1)
     ransac_key = jax.random.key(seed + 2)
     # held-out validation batch from a disjoint seed
     if val_every:
         val_stream = base_image_stream(image_hw, batch_size, seed + 9999,
                                        image_dir,
-                                       texture_style=texture_style)
+                                       texture_style=texture_style,
+                                       image_fraction=image_fraction)
         val_base = jnp.asarray(next(val_stream))
         val_batch = make_pair_batch(val_base, jax.random.key(seed + 777))
 

@@ -36,7 +36,10 @@ def main():
                     help="real grayscale image(s) to use as the base texture "
                          "instead of procedural ones (cycled across pairs); "
                          "tests real-photo statistics vs the synthetic "
-                         "training distribution")
+                         "training distribution; pass --image real-photos "
+                         "to use every photograph shipped in installed "
+                         "packages (sklearn china/flower, matplotlib "
+                         "grace_hopper, pygame camera shots)")
     args = ap.parse_args()
 
     from geoformer_tpu.core.cache import enable_compile_cache
@@ -64,6 +67,18 @@ def main():
     H, W = args.height, args.width
     rng = np.random.default_rng(args.seed)
 
+    if args.image == ["real-photos"]:
+        import glob as _glob
+        import sysconfig
+
+        site = sysconfig.get_paths()["purelib"]
+        args.image = sorted(sum((_glob.glob(os.path.join(site, g)) for g in (
+            "sklearn/datasets/images/*.jpg",
+            "matplotlib/mpl-data/sample_data/grace_hopper.jpg",
+            "pygame/docs/generated/_images/camera_*.jpg",
+        )), []))
+        assert args.image, "no package photos found"
+        print(f"real-photos mode: {len(args.image)} photographs")
     if args.image:
         import cv2
 

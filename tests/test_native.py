@@ -79,3 +79,36 @@ def test_base_image_stream_styles():
     assert s_mixed.shape == (3, 48, 64) and s_struct.shape == (3, 48, 64)
     # different banks (mixed includes dead-leaves/fBm entries)
     assert np.abs(s_mixed - s_struct).mean() > 1e-3
+
+
+def test_base_image_stream_image_mix(tmp_path):
+    """--data-mix blends an image-dir bank with the procedural bank."""
+    import cv2
+
+    from geoformer_tpu.data.synthetic import base_image_stream
+
+    # two constant 'photos' (values no procedural texture produces exactly)
+    for i, val in enumerate((40, 200)):
+        cv2.imwrite(str(tmp_path / f"im{i}.png"),
+                    np.full((64, 80), val, np.uint8))
+
+    def is_flat(im):
+        return im.std() < 1e-6
+
+    # fraction 1.0 -> image bank only (HomoDataset semantics)
+    batch = next(base_image_stream((48, 64), 8, seed=0,
+                                   image_dir=str(tmp_path)))
+    assert batch.shape == (8, 48, 64)
+    assert all(is_flat(im) for im in batch)
+
+    # fraction 0.5 -> both sources appear across a few batches
+    stream = base_image_stream((48, 64), 8, seed=0,
+                               image_dir=str(tmp_path), image_fraction=0.5)
+    flags = [is_flat(im) for _ in range(4) for im in next(stream)]
+    assert any(flags) and not all(flags)
+
+    # fraction 0 -> procedural only, and identical to the no-dir stream
+    b0 = next(base_image_stream((48, 64), 4, seed=7,
+                                image_dir=str(tmp_path), image_fraction=0.0))
+    b1 = next(base_image_stream((48, 64), 4, seed=7))
+    np.testing.assert_allclose(b0, b1)
