@@ -33,7 +33,10 @@ CANDIDATE_GLOBS = [
     "pygame/examples/data/*.jpg",
     "pygame/examples/data/*.bmp",
     "pygame/examples/data/*.gif",
-    "pygame/docs/generated/_images/*.jpg",
+    # only the raw camera photo + intro art (the other camera_* files are
+    # reprocessed copies of the same scene — masks, thresholds, colorspaces)
+    "pygame/docs/generated/_images/camera_rgb.jpg",
+    "pygame/docs/generated/_images/intro_*.jpg",
     "sklearn/datasets/images/*.jpg",
     "matplotlib/mpl-data/sample_data/*.jpg",
     "matplotlib/mpl-data/sample_data/*.png",

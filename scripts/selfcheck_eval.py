@@ -39,7 +39,7 @@ def main():
                          "training distribution; pass --image real-photos "
                          "to use every photograph shipped in installed "
                          "packages (sklearn china/flower, matplotlib "
-                         "grace_hopper, pygame camera shots)")
+                         "grace_hopper, pygame camera_rgb)")
     args = ap.parse_args()
 
     from geoformer_tpu.core.cache import enable_compile_cache
@@ -75,7 +75,7 @@ def main():
         args.image = sorted(sum((_glob.glob(os.path.join(site, g)) for g in (
             "sklearn/datasets/images/*.jpg",
             "matplotlib/mpl-data/sample_data/grace_hopper.jpg",
-            "pygame/docs/generated/_images/camera_*.jpg",
+            "pygame/docs/generated/_images/camera_rgb.jpg",
         )), []))
         assert args.image, "no package photos found"
         print(f"real-photos mode: {len(args.image)} photographs")
