@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--no-mka", action="store_true",
                     help="disable the masked-KV self-attention kernel only "
                          "(isolates it from the box-window cross kernel)")
+    ap.add_argument("--int8", action="store_true",
+                    help="dynamic int8 backbone convs (v5e int8 MXU peak = "
+                         "2x bf16; eval-only, ops/quantize.py)")
+    ap.add_argument("--int8-full", action="store_true",
+                    help="int8 backbone AND transformer projections/MLPs")
     args = ap.parse_args()
     args.bf16 = not args.f32
     args.pallas = not args.no_pallas
@@ -60,6 +65,9 @@ def main():
         os._exit(2)
 
     from geoformer_tpu.config import (
+        BackboneConfig,
+        CoarseTransformerConfig,
+        FineTransformerConfig,
         GeoFormerConfig,
         GeoModuleConfig,
         MatchConfig,
@@ -68,10 +76,14 @@ def main():
 
     B, H, W = args.batch, 480, 640
     cfg = GeoFormerConfig(
+        backbone=BackboneConfig(int8=args.int8 or args.int8_full),
+        coarse=CoarseTransformerConfig(int8=args.int8_full),
+        fine=FineTransformerConfig(int8=args.int8_full),
         match=MatchConfig(max_matches=1024),
         geo=GeoModuleConfig(ransac_iters=256, max_inliers=1024,
                             use_pallas=args.pallas,
-                            use_pallas_self=not args.no_mka),
+                            use_pallas_self=not args.no_mka,
+                            int8=args.int8_full),
         use_bf16=args.bf16,
     )
     model = GeoFormer(cfg)

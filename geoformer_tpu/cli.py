@@ -17,6 +17,9 @@ def _model_and_params(args):
     import jax
 
     from geoformer_tpu.config import (
+        BackboneConfig,
+        CoarseTransformerConfig,
+        FineTransformerConfig,
         GeoFormerConfig,
         GeoModuleConfig,
         MatchConfig,
@@ -24,11 +27,17 @@ def _model_and_params(args):
     from geoformer_tpu.models import GeoFormer
     from geoformer_tpu.train.checkpoint import load_params
 
+    int8_all = getattr(args, "int8_full", False)
+    int8_bb = getattr(args, "int8", False) or int8_all
     cfg = GeoFormerConfig(
+        backbone=BackboneConfig(int8=int8_bb),
+        coarse=CoarseTransformerConfig(int8=int8_all),
+        fine=FineTransformerConfig(int8=int8_all),
         match=MatchConfig(thr=args.match_thr, max_matches=args.max_matches),
         geo=GeoModuleConfig(ransac_iters=args.gam_ransac_iters,
                             max_inliers=args.gam_max_inliers,
-                            use_pallas=getattr(args, "pallas", False)),
+                            use_pallas=getattr(args, "pallas", False),
+                            int8=int8_all),
         use_bf16=getattr(args, "bf16", False),
     )
     model = GeoFormer(cfg)
@@ -310,6 +319,12 @@ def main():
                         help="bf16 compute path (params stay f32)")
         sp.add_argument("--pallas", action="store_true",
                         help="Pallas GAM attention kernels (TPU)")
+        sp.add_argument("--int8", action="store_true",
+                        help="dynamic int8 backbone convs (eval-only; 2x MXU "
+                             "peak on v5e, checkpoints unchanged)")
+        sp.add_argument("--int8-full", action="store_true",
+                        help="int8 backbone AND transformer projections/MLPs "
+                             "(eval-only; verify quality with selfcheck)")
 
     t = sub.add_parser("train")
     t.add_argument("--data", default=None, help="image dir (else procedural)")

@@ -22,6 +22,10 @@ class BackboneConfig:
     # (8, 2) ladder (default) or (16, 4) with 4 block_dims — must match
     # GeoFormerConfig.coarse_scale / fine_scale (resnet_fpn.py:121-199)
     resolution: Tuple[int, int] = (8, 2)
+    # EVAL-ONLY dynamic int8 convs (ops/quantize.py): 2x MXU peak on v5e.
+    # Params stay f32; checkpoints are unchanged. Asserts if used with
+    # train=True (round() has no gradient).
+    int8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,6 +36,7 @@ class CoarseTransformerConfig:
     nhead: int = 8
     layer_names: Tuple[str, ...] = ("self", "cross") * 4
     attention: str = "linear"  # 'linear' | 'full'
+    int8: bool = False  # eval-only dynamic int8 projections (ops/quantize)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +47,7 @@ class FineTransformerConfig:
     nhead: int = 8
     layer_names: Tuple[str, ...] = ("self", "cross")
     attention: str = "linear"
+    int8: bool = False  # eval-only dynamic int8 projections (ops/quantize)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +96,7 @@ class GeoModuleConfig:
     # Wins in training (flash backward avoids the [L,S,H] logits residual);
     # measured ~5% slower than XLA's fused path on the eval forward.
     use_pallas_self: bool = True
+    int8: bool = False  # eval-only dynamic int8 projections (ops/quantize)
 
 
 @dataclasses.dataclass(frozen=True)

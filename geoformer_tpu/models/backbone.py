@@ -22,16 +22,56 @@ from flax import linen as nn
 from geoformer_tpu.ops.resize import resize_bilinear_align_corners
 
 
+class Int8Conv(nn.Module):
+    """Bias-free NHWC conv computed in dynamic int8 (ops/quantize.py).
+
+    Param tree ({"kernel": [kh, kw, Cin, Cout]} f32, lecun_normal init)
+    matches nn.Conv exactly, so f32 checkpoints load unchanged and the
+    int8 toggle never forks the parameter structure. Eval-only: round()
+    has zero gradient, so callers assert not-train before using it.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0))
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from geoformer_tpu.ops.quantize import int8_conv
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
+        return int8_conv(x, kernel, self.strides,
+                         [tuple(p) for p in self.padding]).astype(self.dtype)
+
+
+def _make_conv(int8: bool, dtype):
+    """Conv factory shared by the backbone modules: nn.Conv, or the
+    quantized drop-in when the eval-only int8 path is enabled."""
+    def conv(features, k, s, name):
+        pad = [(k // 2, k // 2)] * 2
+        if int8:
+            return Int8Conv(features, (k, k), strides=(s, s), padding=pad,
+                            dtype=dtype, name=name)
+        return nn.Conv(features, (k, k), strides=(s, s), padding=pad,
+                       use_bias=False, dtype=dtype, name=name)
+    return conv
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
-            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
-            use_bias=False, dtype=self.dtype, name=name)
+        assert not (self.int8 and train), "int8 backbone is eval-only"
+        conv = lambda f, k, s, name: _make_conv(self.int8, self.dtype)(  # noqa: E731
+            f, k, s, name)
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
@@ -47,32 +87,32 @@ class ResNetFPN(nn.Module):
     initial_dim: int = 128
     block_dims: Sequence[int] = (128, 196, 256)
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> Tuple[jax.Array, jax.Array]:
         """x: [B, H, W, 1] grayscale in [0, 1]. Returns (coarse_1_8, fine_1_2)."""
+        assert not (self.int8 and train), "int8 backbone is eval-only"
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
         d1, d2, d3 = self.block_dims
+        mk = _make_conv(self.int8, self.dtype)
 
-        x0 = nn.relu(bn("bn1")(nn.Conv(
-            self.initial_dim, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1")(x)))
+        x0 = nn.relu(bn("bn1")(mk(self.initial_dim, 7, 2, "conv1")(x)))
 
-        x1 = BasicBlock(d1, 1, self.dtype, name="layer1_0")(x0, train)
-        x1 = BasicBlock(d1, 1, self.dtype, name="layer1_1")(x1, train)   # 1/2
-        x2 = BasicBlock(d2, 2, self.dtype, name="layer2_0")(x1, train)
-        x2 = BasicBlock(d2, 1, self.dtype, name="layer2_1")(x2, train)   # 1/4
-        x3 = BasicBlock(d3, 2, self.dtype, name="layer3_0")(x2, train)
-        x3 = BasicBlock(d3, 1, self.dtype, name="layer3_1")(x3, train)   # 1/8
+        block = lambda f, s, name: BasicBlock(  # noqa: E731
+            f, s, self.dtype, int8=self.int8, name=name)
+        x1 = block(d1, 1, "layer1_0")(x0, train)
+        x1 = block(d1, 1, "layer1_1")(x1, train)   # 1/2
+        x2 = block(d2, 2, "layer2_0")(x1, train)
+        x2 = block(d2, 1, "layer2_1")(x2, train)   # 1/4
+        x3 = block(d3, 2, "layer3_0")(x2, train)
+        x3 = block(d3, 1, "layer3_1")(x3, train)   # 1/8
 
-        conv1x1 = lambda f, name: nn.Conv(  # noqa: E731
-            f, (1, 1), use_bias=False, dtype=self.dtype, name=name)
-        conv3x3 = lambda f, name: nn.Conv(  # noqa: E731
-            f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-            dtype=self.dtype, name=name)
+        conv1x1 = lambda f, name: mk(f, 1, 1, name)  # noqa: E731
+        conv3x3 = lambda f, name: mk(f, 3, 1, name)  # noqa: E731
 
         # FPN top-down with align-corners bilinear upsampling.
         x3_out = conv1x1(d3, "l3_out")(x3)
@@ -103,33 +143,33 @@ class ResNetFPN_16_4(nn.Module):
     initial_dim: int = 128
     block_dims: Sequence[int] = (128, 196, 256, 512)
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> Tuple[jax.Array, jax.Array]:
+        assert not (self.int8 and train), "int8 backbone is eval-only"
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
         d1, d2, d3, d4 = self.block_dims
+        mk = _make_conv(self.int8, self.dtype)
 
-        x0 = nn.relu(bn("bn1")(nn.Conv(
-            self.initial_dim, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1")(x)))
+        x0 = nn.relu(bn("bn1")(mk(self.initial_dim, 7, 2, "conv1")(x)))
 
-        x1 = BasicBlock(d1, 1, self.dtype, name="layer1_0")(x0, train)
-        x1 = BasicBlock(d1, 1, self.dtype, name="layer1_1")(x1, train)   # 1/2
-        x2 = BasicBlock(d2, 2, self.dtype, name="layer2_0")(x1, train)
-        x2 = BasicBlock(d2, 1, self.dtype, name="layer2_1")(x2, train)   # 1/4
-        x3 = BasicBlock(d3, 2, self.dtype, name="layer3_0")(x2, train)
-        x3 = BasicBlock(d3, 1, self.dtype, name="layer3_1")(x3, train)   # 1/8
-        x4 = BasicBlock(d4, 2, self.dtype, name="layer4_0")(x3, train)
-        x4 = BasicBlock(d4, 1, self.dtype, name="layer4_1")(x4, train)   # 1/16
+        block = lambda f, s, name: BasicBlock(  # noqa: E731
+            f, s, self.dtype, int8=self.int8, name=name)
+        x1 = block(d1, 1, "layer1_0")(x0, train)
+        x1 = block(d1, 1, "layer1_1")(x1, train)   # 1/2
+        x2 = block(d2, 2, "layer2_0")(x1, train)
+        x2 = block(d2, 1, "layer2_1")(x2, train)   # 1/4
+        x3 = block(d3, 2, "layer3_0")(x2, train)
+        x3 = block(d3, 1, "layer3_1")(x3, train)   # 1/8
+        x4 = block(d4, 2, "layer4_0")(x3, train)
+        x4 = block(d4, 1, "layer4_1")(x4, train)   # 1/16
 
-        conv1x1 = lambda f, name: nn.Conv(  # noqa: E731
-            f, (1, 1), use_bias=False, dtype=self.dtype, name=name)
-        conv3x3 = lambda f, name: nn.Conv(  # noqa: E731
-            f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-            dtype=self.dtype, name=name)
+        conv1x1 = lambda f, name: mk(f, 1, 1, name)  # noqa: E731
+        conv3x3 = lambda f, name: mk(f, 3, 1, name)  # noqa: E731
 
         x4_out = conv1x1(d4, "l4_out")(x4)
 
@@ -151,11 +191,12 @@ class ResNetFPN_16_4(nn.Module):
 def build_backbone(cfg, dtype=jnp.float32, name: str = "backbone"):
     """Select the ladder by (coarse, fine) resolution (reference:
     backbone/__init__.py:4-11 dispatches on config RESOLUTION)."""
+    int8 = getattr(cfg, "int8", False)
     if tuple(cfg.resolution) == (8, 2):
         return ResNetFPN(cfg.initial_dim, cfg.block_dims, dtype=dtype,
-                         name=name)
+                         int8=int8, name=name)
     if tuple(cfg.resolution) == (16, 4):
         assert len(cfg.block_dims) == 4, cfg.block_dims
         return ResNetFPN_16_4(cfg.initial_dim, cfg.block_dims, dtype=dtype,
-                              name=name)
+                              int8=int8, name=name)
     raise ValueError(f"unsupported resolution ladder {cfg.resolution}")

@@ -208,6 +208,7 @@ class GeoModule(nn.Module):
                                  mlp_act="tanh", dtype=self.dtype,
                                  use_pallas=cfg.use_pallas
                                  and cfg.use_pallas_self,
+                                 int8=cfg.int8,
                                  name=f"layer_{li}")
             if name == "self":
                 kv0 = take_tok(feat0, idx0)                 # [B, cap, C]

@@ -100,9 +100,13 @@ class GeoFormer(nn.Module):
             b, h1c * w1c, -1), sp)
         m0 = mask0.reshape(b, -1) if mask0 is not None else None
         m1 = mask1.reshape(b, -1) if mask1 is not None else None
+        assert not (train and (cfg.backbone.int8 or cfg.coarse.int8
+                               or cfg.fine.int8 or cfg.geo.int8)), \
+            "int8 paths are eval-only (round() has no gradient)"
         coarse_tf = LocalFeatureTransformer(
             cfg.coarse.d_model, cfg.coarse.nhead, cfg.coarse.layer_names,
-            cfg.coarse.attention, dtype=dtype, name="loftr_coarse")
+            cfg.coarse.attention, dtype=dtype, int8=cfg.coarse.int8,
+            name="loftr_coarse")
         # Token-sharded coarse transformer: linear attention's KV / Ksum
         # contractions over the sharded token dim become one psum each.
         f0, f1 = coarse_tf(f0, f1, m0, m1)
@@ -175,7 +179,8 @@ class GeoFormer(nn.Module):
         ww = cfg.fine_match.window_size ** 2
         fine_tf = LocalFeatureTransformer(
             cfg.fine.d_model, cfg.fine.nhead, cfg.fine.layer_names,
-            cfg.fine.attention, dtype=dtype, name="loftr_fine")
+            cfg.fine.attention, dtype=dtype, int8=cfg.fine.int8,
+            name="loftr_fine")
         t0, t1 = fine_tf(w0.reshape(b * m, ww, -1), w1.reshape(b * m, ww, -1))
 
         fine_conf = dual_softmax(t0, t1, cfg.fine_match.temperature)

@@ -28,6 +28,26 @@ from geoformer_tpu.ops.attention import (
 )
 
 
+class Int8Dense(nn.Module):
+    """Bias-free dense computed in dynamic int8 (ops/quantize.int8_dense).
+
+    Param tree ({"kernel": [Cin, Cout]} f32, lecun_normal init) matches
+    nn.Dense(use_bias=False) exactly, so checkpoints load unchanged.
+    Eval-only: round() has zero gradient (the model asserts not-train).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from geoformer_tpu.ops.quantize import int8_dense
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        return int8_dense(x, kernel).astype(self.dtype)
+
+
 class EncoderLayer(nn.Module):
     d_model: int
     nhead: int
@@ -35,18 +55,20 @@ class EncoderLayer(nn.Module):
     mlp_act: str = "relu"      # 'relu' | 'tanh'
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False   # TPU kernel for masked-KV full attention
+    int8: bool = False         # eval-only dynamic int8 projections/MLP
 
     def setup(self):
-        dense = lambda name: nn.Dense(  # noqa: E731
-            self.d_model, use_bias=False, dtype=self.dtype, name=name)
+        mk = (lambda f, name: Int8Dense(f, dtype=self.dtype, name=name)) \
+            if self.int8 else \
+            (lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype,
+                                      name=name))
+        dense = lambda name: mk(self.d_model, name)  # noqa: E731
         self.q_proj = dense("q_proj")
         self.k_proj = dense("k_proj")
         self.v_proj = dense("v_proj")
         self.merge = dense("merge")
-        self.mlp0 = nn.Dense(2 * self.d_model, use_bias=False,
-                             dtype=self.dtype, name="mlp0")
-        self.mlp1 = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                             name="mlp1")
+        self.mlp0 = mk(2 * self.d_model, "mlp0")
+        self.mlp1 = mk(self.d_model, "mlp1")
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
 
@@ -141,12 +163,14 @@ class LocalFeatureTransformer(nn.Module):
     layer_names: Sequence[str]
     attention: str = "linear"
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, feat0, feat1, mask0=None, mask1=None):
         for i, name in enumerate(self.layer_names):
             layer = EncoderLayer(self.d_model, self.nhead, self.attention,
-                                 dtype=self.dtype, name=f"layer_{i}")
+                                 dtype=self.dtype, int8=self.int8,
+                                 name=f"layer_{i}")
             if name == "self":
                 feat0 = layer(feat0, feat0, mask0, mask0)
                 feat1 = layer(feat1, feat1, mask1, mask1)

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--ransac-thr", type=float, default=3.0)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="dynamic int8 backbone convs (eval-only)")
+    ap.add_argument("--int8-full", action="store_true",
+                    help="int8 backbone AND transformer projections/MLPs")
     ap.add_argument("--image", action="append", default=None,
                     help="real grayscale image(s) to use as the base texture "
                          "instead of procedural ones (cycled across pairs); "
@@ -52,6 +56,9 @@ def main():
     import jax.numpy as jnp
 
     from geoformer_tpu.config import (
+        BackboneConfig,
+        CoarseTransformerConfig,
+        FineTransformerConfig,
         GeoFormerConfig,
         GeoModuleConfig,
         MatchConfig,
@@ -104,9 +111,13 @@ def main():
             jnp.asarray(base[..., None]), jnp.asarray(Hs)))[..., 0]
 
     cfg = GeoFormerConfig(
+        backbone=BackboneConfig(int8=args.int8 or args.int8_full),
+        coarse=CoarseTransformerConfig(int8=args.int8_full),
+        fine=FineTransformerConfig(int8=args.int8_full),
         match=MatchConfig(max_matches=1024),
         geo=GeoModuleConfig(ransac_iters=256, max_inliers=1024,
-                            use_pallas=args.pallas),
+                            use_pallas=args.pallas,
+                            int8=args.int8_full),
         use_bf16=args.bf16,
     )
     model = GeoFormer(cfg)
