@@ -90,17 +90,21 @@ def run_training(
     key = jax.random.key(seed)
     state, opt = init_state(model, tcfg, key)
     if resume:
-        state = restore_checkpoint(ckpt_dir, state)
+        state = restore_checkpoint(ckpt_dir, state, require=True)
         print(f"resumed at step {int(state.step)}")
     step_fn = shard_train_step(make_train_step(model, opt, tcfg), mesh)
     val_fn = jax.jit(make_val_step(model, tcfg)) if val_every else None
 
     data_sh = NamedSharding(mesh, P("data"))
-    stream = base_image_stream(image_hw, batch_size, seed, image_dir,
+    # Fold the resume step into the data seeds: otherwise a resumed run
+    # replays the exact batches already trained on (stream + pair keys
+    # restart from the same seeds).
+    data_seed = seed + 1_000_003 * int(state.step)
+    stream = base_image_stream(image_hw, batch_size, data_seed, image_dir,
                                texture_style=texture_style,
                                image_fraction=image_fraction)
-    pair_key = jax.random.key(seed + 1)
-    ransac_key = jax.random.key(seed + 2)
+    pair_key = jax.random.key(data_seed + 1)
+    ransac_key = jax.random.key(data_seed + 2)
     # held-out validation batch from a disjoint seed
     if val_every:
         val_stream = base_image_stream(image_hw, batch_size, seed + 9999,
@@ -176,8 +180,9 @@ def run_training(
             if (step + 1) % ckpt_every == 0 or step + 1 == steps:
                 save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
 
-    save_params(os.path.join(ckpt_dir, "params_final.pkl"), {
+    save_params(os.path.join(ckpt_dir, "params_final.npz"), {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
+        "step": int(state.step),
     })
     return state

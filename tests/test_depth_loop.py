@@ -15,6 +15,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: full loops / 8-device compiles / torch cross-tests
+
 from geoformer_tpu.config import GeoFormerConfig, GeoModuleConfig, MatchConfig
 
 
@@ -94,7 +96,7 @@ def test_depth_training_end_to_end(tmp_path):
         assert np.isfinite(v[k])
     assert best["auc@10"] >= 0.0
     # monitored checkpoint + final params exist
-    assert os.path.exists(os.path.join(out, "params_final.pkl"))
+    assert os.path.exists(os.path.join(out, "params_final.npz"))
     steps_saved = [d for d in os.listdir(out) if d.isdigit()]
     assert steps_saved, os.listdir(out)
 
