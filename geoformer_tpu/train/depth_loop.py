@@ -46,13 +46,19 @@ from geoformer_tpu.train.trainer import (
 
 def run_depth_validation(val_fn, state, val_batches, rng_key,
                          epi_err_thr: float = 5e-4,
-                         pose_thresh: float = 0.5) -> dict:
-    """One validation sweep: device step per batch, host-side essential-RANSAC
-    pose recovery per pair, cross-host gather, AUC aggregation.
+                         pose_thresh: float = 0.5,
+                         pose_backend: str = "device") -> dict:
+    """One validation sweep: device step per batch, essential-RANSAC pose
+    recovery per pair, cross-host gather, AUC aggregation.
 
     Mirrors PL_GeoFormer.validation_epoch_end (reference:
     lightning_depth_geoformer.py:162-207 -> comm.py all_gather ->
     metrics.py:173-193 aggregate_metrics).
+
+    pose_backend: "device" runs the jitted batched 8-point RANSAC
+    (geometry/essential.py) so the whole val step stays on-chip; "host"
+    keeps the reference-faithful per-pair cv2 loop (metrics.py:72-98).
+    Pose-AUC parity between the two is cross-tested in tests/test_pose.py.
     """
     R_errs, t_errs, epi_lists, identifiers, val_scalars = [], [], [], [], []
     pair_id = jax.process_index() * 10 ** 9
@@ -60,6 +66,24 @@ def run_depth_validation(val_fn, state, val_batches, rng_key,
         scalars, pd = val_fn(state, batch, rng_key)
         val_scalars.append({k: float(v) for k, v in
                             jax.device_get(scalars).items()})
+        if pose_backend == "device":
+            from geoformer_tpu.geometry.essential import batched_pose_errors
+
+            t_e, R_e, _, _ = batched_pose_errors(
+                jax.random.key(0), jnp.asarray(pd["mkpts0"]),
+                jnp.asarray(pd["mkpts1"]), jnp.asarray(pd["valid"]),
+                jnp.asarray(batch["K0"]), jnp.asarray(batch["K1"]),
+                jnp.asarray(batch["T_0to1"]), thresh=pose_thresh)
+            t_e = np.asarray(t_e)
+            R_e = np.asarray(R_e)
+            pd = jax.device_get(pd)
+            for i in range(pd["valid"].shape[0]):
+                R_errs.append(float(R_e[i]))
+                t_errs.append(float(t_e[i]))
+                epi_lists.append(pd["epi_errs"][i][pd["valid"][i]])
+                identifiers.append(pair_id)
+                pair_id += 1
+            continue
         pd = jax.device_get(pd)
         K0 = np.asarray(batch["K0"])
         K1 = np.asarray(batch["K1"])
@@ -151,7 +175,7 @@ def run_depth_training(
                        fromlist=["GeoFormer"]).GeoFormer(cfg)
     state, opt = init_state(model, tcfg, jax.random.key(seed))
     if resume:
-        state = restore_checkpoint(ckpt_dir, state)
+        state = restore_checkpoint(ckpt_dir, state, require=True)
         print(f"resumed at step {int(state.step)}")
     step_fn = shard_train_step(make_depth_train_step(model, opt, tcfg), mesh)
     val_fn = jax.jit(make_depth_val_step(model, tcfg))
@@ -224,7 +248,7 @@ def run_depth_training(
                                 keep=3)
 
     if jax.process_index() == 0:
-        save_params(os.path.join(ckpt_dir, "params_final.pkl"), {
+        save_params(os.path.join(ckpt_dir, "params_final.npz"), {
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
         })
