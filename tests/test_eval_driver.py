@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: full loops / 8-device compiles / torch cross-tests
+
 from geoformer_tpu.config import GeoFormerConfig, GeoModuleConfig, MatchConfig
 from geoformer_tpu.eval.hpatches import eval_hpatches, fit_homography_np
 from geoformer_tpu.eval.matcher import BatchedMatcher, resize_shape

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: full loops / 8-device compiles / torch cross-tests
+
 from geoformer_tpu.config import GeoFormerConfig, MatchConfig, GeoModuleConfig
 from geoformer_tpu.models import GeoFormer
 

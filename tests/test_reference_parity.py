@@ -37,6 +37,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: full loops / 8-device compiles / torch cross-tests
+
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference"

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy: full loops / 8-device compiles / torch cross-tests
 from jax.sharding import Mesh, PartitionSpec as P
 
 from geoformer_tpu.config import GeoFormerConfig, GeoModuleConfig, MatchConfig

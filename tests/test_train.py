@@ -6,6 +6,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: full loops / 8-device compiles / torch cross-tests
+
 from geoformer_tpu.config import (
     GeoFormerConfig,
     GeoModuleConfig,
