@@ -9,6 +9,12 @@ grace_hopper portrait. After a flatness filter (mean gradient magnitude)
 real-photo domain gap (RESULTS.md: synthetic-trained AUC@1px drops
 0.55 -> 0.35 on real photographs).
 
+A held-out set of photographs (HOLDOUT below) is ALWAYS excluded from the
+corpus and written to --holdout-dir instead: the real-photo generalization
+probe (scripts/selfcheck_eval.py --image held-out-photos) must never see
+its images inside the training corpus, or it measures photometric
+adaptation instead of generalization (round-2 contamination finding).
+
 Usage:
     python scripts/build_texture_corpus.py --out data/textures
     python -m geoformer_tpu.cli train --data data/textures --data-mix 0.5
@@ -42,12 +48,24 @@ CANDIDATE_GLOBS = [
     "matplotlib/mpl-data/sample_data/*.png",
 ]
 
+# Photographs quarantined from the training corpus: two distinct
+# photographic scenes (architecture, webcam indoor scene) reserved for the
+# generalization probe. camera_rgb's reprocessed siblings (camera_*.jpg,
+# same scene) were never corpus candidates, so the scene is fully held out.
+HOLDOUT = [
+    "sklearn/datasets/images/china.jpg",
+    "pygame/docs/generated/_images/camera_rgb.jpg",
+]
 
-def harvest(out_dir: str, min_dim: int = 96, min_grad: float = 0.01) -> int:
+
+def harvest(out_dir: str, min_dim: int = 96, min_grad: float = 0.01,
+            holdout_dir: str = "data/holdout_photos") -> int:
     os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(holdout_dir, exist_ok=True)
     paths = sorted(set(sum(
         (glob.glob(os.path.join(SITE, g), recursive=True)
          for g in CANDIDATE_GLOBS), [])))
+    holdout = {os.path.join(SITE, h) for h in HOLDOUT}
     kept = 0
     for p in paths:
         try:
@@ -63,6 +81,9 @@ def harvest(out_dir: str, min_dim: int = 96, min_grad: float = 0.01) -> int:
             continue
         rel = os.path.relpath(p, SITE).replace(os.sep, "_")
         name = os.path.splitext(rel)[0] + ".png"
+        if p in holdout:
+            im.save(os.path.join(holdout_dir, name))
+            continue
         im.save(os.path.join(out_dir, name))
         kept += 1
     return kept
@@ -71,11 +92,13 @@ def harvest(out_dir: str, min_dim: int = 96, min_grad: float = 0.01) -> int:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="data/textures")
+    ap.add_argument("--holdout-dir", default="data/holdout_photos")
     ap.add_argument("--min-dim", type=int, default=96)
     ap.add_argument("--min-grad", type=float, default=0.01)
     args = ap.parse_args(argv)
-    n = harvest(args.out, args.min_dim, args.min_grad)
-    print(f"wrote {n} grayscale textures to {args.out}")
+    n = harvest(args.out, args.min_dim, args.min_grad, args.holdout_dir)
+    print(f"wrote {n} grayscale textures to {args.out} "
+          f"(holdout photos -> {args.holdout_dir})")
     return 0 if n else 1
 
 

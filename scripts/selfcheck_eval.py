@@ -85,7 +85,22 @@ def main():
             "pygame/docs/generated/_images/camera_rgb.jpg",
         )), []))
         assert args.image, "no package photos found"
-        print(f"real-photos mode: {len(args.image)} photographs")
+        print(f"real-photos mode: {len(args.image)} photographs "
+              "(CONTAMINATED vs corpora built before the holdout split — "
+              "prefer --image held-out-photos)")
+    elif args.image == ["held-out-photos"]:
+        # Photos quarantined OUT of data/textures by
+        # scripts/build_texture_corpus.py (HOLDOUT list): the only clean
+        # real-photo generalization probe on this machine.
+        import sysconfig
+
+        site = sysconfig.get_paths()["purelib"]
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from build_texture_corpus import HOLDOUT
+
+        args.image = [os.path.join(site, h) for h in HOLDOUT]
+        print(f"held-out-photos mode: {len(args.image)} photographs "
+              "(never in the training corpus)")
     if args.image:
         import cv2
 
