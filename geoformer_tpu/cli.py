@@ -25,7 +25,7 @@ def _model_and_params(args):
         MatchConfig,
     )
     from geoformer_tpu.models import GeoFormer
-    from geoformer_tpu.train.checkpoint import load_params
+    from geoformer_tpu.train.checkpoint import load_variables
 
     int8_all = getattr(args, "int8_full", False)
     int8_bb = getattr(args, "int8", False) or int8_all
@@ -42,10 +42,9 @@ def _model_and_params(args):
     )
     model = GeoFormer(cfg)
     if args.ckpt:
-        loaded = load_params(args.ckpt)
-        # params_final.pkl stores {'params': ..., 'batch_stats': ...};
-        # a bare param tree gets wrapped
-        params = loaded if "params" in loaded else {"params": loaded}
+        # exports store {'params', 'batch_stats'[, metadata]}; bare param
+        # trees get wrapped, metadata (e.g. 'step') is dropped
+        params = load_variables(args.ckpt)
     else:
         import jax.numpy as jnp
 

@@ -107,6 +107,20 @@ def save_params(path: str, params: Any) -> None:
         pickle.dump(params, f)
 
 
+def load_variables(path: str) -> Any:
+    """Load an exported checkpoint as apply-ready flax variables.
+
+    Drops metadata entries (e.g. the 'step' stamp save_params adds) and
+    wraps bare param trees, so the result can go straight into
+    ``model.apply``.
+    """
+    loaded = load_params(path)
+    if "params" not in loaded:
+        return {"params": loaded}
+    return {k: v for k, v in loaded.items()
+            if k in ("params", "batch_stats")}
+
+
 def load_params(path: str) -> Any:
     if path.endswith(".npz"):
         import numpy as np

@@ -69,7 +69,7 @@ def main():
     from geoformer_tpu.eval.metrics import cal_error_auc, correctness
     from geoformer_tpu.geometry.homography import sample_homography
     from geoformer_tpu.models import GeoFormer
-    from geoformer_tpu.train.checkpoint import load_params
+    from geoformer_tpu.train.checkpoint import load_variables
 
     H, W = args.height, args.width
     rng = np.random.default_rng(args.seed)
@@ -136,9 +136,7 @@ def main():
         use_bf16=args.bf16,
     )
     model = GeoFormer(cfg)
-    variables = load_params(args.ckpt)
-    if "params" not in variables:
-        variables = {"params": variables}
+    variables = load_variables(args.ckpt)
 
     @jax.jit
     def fwd(v, i0, i1):

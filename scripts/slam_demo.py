@@ -54,7 +54,7 @@ def main():
     from geoformer_tpu.eval.hpatches import fit_homography_np
     from geoformer_tpu.geometry.homography import corner_error
     from geoformer_tpu.models import GeoFormer
-    from geoformer_tpu.train.checkpoint import load_params
+    from geoformer_tpu.train.checkpoint import load_variables
 
     H, W = args.height, args.width
     K = args.frames
@@ -78,9 +78,7 @@ def main():
         geo=GeoModuleConfig(ransac_iters=256, max_inliers=1024),
     )
     model = GeoFormer(cfg)
-    variables = load_params(args.ckpt)
-    if "params" not in variables:
-        variables = {"params": variables}
+    variables = load_variables(args.ckpt)
 
     @jax.jit
     def fwd(v, i0, i1):

@@ -62,6 +62,7 @@ def test_int8_conv_close_to_f32_conv():
     ((8, 2), (32, 40, 48)),
     ((16, 4), (32, 40, 48, 56)),
 ])
+@pytest.mark.slow
 def test_backbone_int8_matches_f32(resolution, block_dims):
     cfg = BackboneConfig(initial_dim=32, block_dims=block_dims,
                          resolution=resolution)
@@ -106,6 +107,7 @@ def test_encoder_layer_int8_matches_f32():
     assert _cos(got, ref) > 0.99, _cos(got, ref)
 
 
+@pytest.mark.slow
 def test_full_model_runs_with_int8_everywhere():
     """--int8-full config: backbone + coarse/fine/geo transformer stacks all
     quantized, driven by the same f32 variables."""

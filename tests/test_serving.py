@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # bundle exports recompile the full model repeatedly
+
 from geoformer_tpu.config import (
     FineMatchConfig,
     GeoFormerConfig,

@@ -7,6 +7,7 @@ and matching outputs validates both the converter's layout mapping and the
 layer math — the same path a released reference checkpoint would take.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -222,6 +223,7 @@ def _full_reference_state_dict(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_full_checkpoint_conversion_loads_and_runs():
     from geoformer_tpu.config import (
         GeoFormerConfig,
