@@ -1,0 +1,75 @@
+"""Checkpoint export/restore semantics (geoformer_tpu/train/checkpoint.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from geoformer_tpu.train.checkpoint import (
+    load_params,
+    load_variables,
+    save_params,
+)
+
+
+def _tree():
+    return {
+        "params": {
+            "backbone": {"conv1": {"kernel": np.arange(6, dtype=np.float32
+                                                       ).reshape(2, 3)}},
+            "dense": {"bias": np.zeros(4, np.float32)},
+        },
+        "batch_stats": {"bn": {"mean": np.ones(3, np.float32)}},
+        "step": 9000,
+    }
+
+
+def test_npz_roundtrip_is_data_only(tmp_path):
+    path = os.path.join(tmp_path, "p.npz")
+    save_params(path, _tree())
+    # np.load with allow_pickle=False must succeed: proves no pickled objects
+    z = np.load(path, allow_pickle=False)
+    assert "params/backbone/conv1/kernel" in z.files
+    loaded = load_params(path)
+    np.testing.assert_array_equal(
+        loaded["params"]["backbone"]["conv1"]["kernel"],
+        _tree()["params"]["backbone"]["conv1"]["kernel"])
+    assert int(loaded["step"]) == 9000
+
+
+def test_pickle_roundtrip_back_compat(tmp_path):
+    path = os.path.join(tmp_path, "p.pkl")
+    save_params(path, _tree())
+    loaded = load_params(path)
+    np.testing.assert_array_equal(loaded["batch_stats"]["bn"]["mean"],
+                                  np.ones(3, np.float32))
+
+
+@pytest.mark.parametrize("ext", ["npz", "pkl"])
+def test_load_variables_strips_metadata(tmp_path, ext):
+    path = os.path.join(tmp_path, f"p.{ext}")
+    save_params(path, _tree())
+    v = load_variables(path)
+    assert set(v.keys()) == {"params", "batch_stats"}
+
+
+def test_load_variables_wraps_bare_params(tmp_path):
+    path = os.path.join(tmp_path, "bare.npz")
+    save_params(path, _tree()["params"])
+    v = load_variables(path)
+    assert "params" in v and "backbone" in v["params"]
+
+
+def test_restore_checkpoint_require_raises(tmp_path):
+    """--resume against an empty dir must fail loudly, not reinit silently."""
+    from geoformer_tpu.train.checkpoint import restore_checkpoint
+    from geoformer_tpu.train.trainer import TrainState
+
+    state = TrainState(params={}, batch_stats={}, opt_state=(),
+                       step=np.int32(0))
+    with pytest.raises(FileNotFoundError):
+        restore_checkpoint(os.path.join(tmp_path, "empty"), state,
+                           require=True)
+    # non-require path keeps the old silent-fresh-init behaviour
+    out = restore_checkpoint(os.path.join(tmp_path, "empty2"), state)
+    assert int(out.step) == 0
