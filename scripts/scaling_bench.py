@@ -19,6 +19,10 @@ import argparse
 import json
 import time
 
+from geoformer_tpu.core.platform import respect_platform_env
+
+respect_platform_env()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
