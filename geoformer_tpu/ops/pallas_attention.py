@@ -514,7 +514,7 @@ def box_window_attention(q, k, v, centers, grid_hw, radius: int = 2,
 
 
 def _box_forward(q, k, v, centers, grid_hw, radius, mask_fill, q_tile,
-                 kv_tile, interpret=False, force_tiled=False):
+                 kv_tile, interpret=False, force_tiled=None):
     b, l, h, d = q.shape
     s = k.shape[1]
     tl = _divisor_tile(l, q_tile)
@@ -534,7 +534,18 @@ def _box_forward(q, k, v, centers, grid_hw, radius, mask_fill, q_tile,
     itemsize = jnp.dtype(q.dtype).itemsize
     vmem_est = 2 * s * h * d * itemsize + 2 * tl * s * 4
     ts = _divisor_tile(s, kv_tile)
-    if (force_tiled or vmem_est > 12 * 2 ** 20) and ts != 0:
+    if force_tiled is None:
+        # Default since the round-3 A/B (RESULTS.md): kv-tiled online
+        # softmax with box-sparsity tile skipping is ~17% faster than
+        # whole-KV on the GAM's raster-coherent warped centers (10.2 vs
+        # 12.3 ms at B=4 S=4800 bf16) and fits any resolution. Whole-KV
+        # wins only on adversarial random centers (every kv tile
+        # overlapping some query box), which homography-fitted centers
+        # never produce; it stays reachable with force_tiled=False.
+        use_tiled = ts != 0
+    else:
+        use_tiled = (force_tiled or vmem_est > 12 * 2 ** 20) and ts != 0
+    if use_tiled:
         n_s = s // ts
         out, lse = pl.pallas_call(
             functools.partial(_box_fwd_tiled_kernel, nhead=h, radius=radius,

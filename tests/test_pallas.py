@@ -136,8 +136,10 @@ def test_box_fwd_kernel_interpret_matches_reference():
     )
 
     q, k, v, centers, grid_hw, r = _box_setup()
+    # force_tiled=False pins the whole-KV arm (the round-3 default is the
+    # tiled kernel, covered by test_box_fwd_tiled_* below)
     out, lse = _box_forward(q, k, v, centers, grid_hw, r, -1e8, 8, 8,
-                            interpret=True)
+                            interpret=True, force_tiled=False)
     ref = box_attention_reference(q, k, v, centers, grid_hw, r)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
@@ -153,7 +155,7 @@ def test_box_bwd_kernel_interpret_matches_reference():
 
     q, k, v, centers, grid_hw, r = _box_setup(seed=12)
     out, lse = _box_forward(q, k, v, centers, grid_hw, r, -1e8, 8, 8,
-                            interpret=True)
+                            interpret=True, force_tiled=False)
     g = jnp.asarray(np.random.default_rng(13).normal(
         size=q.shape).astype(np.float32))
     got = _box_bwd_pallas(q, k, v, centers, g, out, lse, grid_hw, r, -1e8,
