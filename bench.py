@@ -93,7 +93,7 @@ def main():
     # experimental PJRT plugin has been observed both to return early from
     # block_until_ready and to short-cut repeated identical executions, so
     # only fully-synchronized fresh-input timing is trustworthy here.
-    iters = 8
+    iters = 12
     bank = jnp.asarray(rng.random((iters + 1, B, H, W, 1), np.float32))
     params = model.init({"params": key, "ransac": key},
                         bank[0][:1], bank[0][:1])
@@ -150,11 +150,19 @@ def main():
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr, flush=True)
 
     baseline = 5.0  # reference ~5 pairs/s/GPU at 480px (no published number)
+    # Spread: tunnel sessions vary ~15% run-to-run; p10/p90 of per-call
+    # times makes a single driver capture interpretable (is this a tight
+    # run or a noisy one?) without a second invocation.
+    ms = np.sort(np.asarray(times) * 1e3)
     rec = {
         "metric": "matched_pairs_per_s_per_chip_480px",
         "value": round(pairs_per_s, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / baseline, 3),
+        "median_ms": round(dt * 1e3, 1),
+        "p10_ms": round(float(np.percentile(ms, 10)), 1),
+        "p90_ms": round(float(np.percentile(ms, 90)), 1),
+        "n_timed": iters,
     }
     if tflops is not None:
         rec["tflops_per_s"] = round(tflops, 2)

@@ -7,7 +7,7 @@ the self-supervised trainer uses, but a disjoint seed), runs the full matcher
 this is the stand-in for the README parity block — the protocol and metric
 code are identical to eval/hpatches.py.
 
-Usage: python scripts/selfcheck_eval.py --ckpt checkpoints/tpu_run2/params_final.pkl
+Usage: python scripts/selfcheck_eval.py --ckpt checkpoints/tpu_r3_main/params_final.npz
 """
 
 import os
@@ -24,7 +24,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="checkpoints/tpu_run2/params_final.pkl")
+    ap.add_argument("--ckpt", default="checkpoints/tpu_r3_main/params_final.npz")
     ap.add_argument("--pairs", type=int, default=40)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)

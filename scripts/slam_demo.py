@@ -8,7 +8,7 @@ Reports mean corner drift against ground truth before/after optimization —
 the homography-world ATE of the BASELINE north star.
 
 Usage:
-    python scripts/slam_demo.py --ckpt checkpoints/tpu_run2/params_final.pkl
+    python scripts/slam_demo.py --ckpt checkpoints/tpu_r3_main/params_final.npz
 """
 
 import os
@@ -24,7 +24,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="checkpoints/tpu_run2/params_final.pkl")
+    ap.add_argument("--ckpt", default="checkpoints/tpu_r3_main/params_final.npz")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)

