@@ -42,9 +42,19 @@ def _model_and_params(args):
     )
     model = GeoFormer(cfg)
     if args.ckpt:
-        # exports store {'params', 'batch_stats'[, metadata]}; bare param
-        # trees get wrapped, metadata (e.g. 'step') is dropped
-        params = load_variables(args.ckpt)
+        if args.ckpt.endswith((".ckpt", ".pth", ".pt")):
+            # released torch checkpoints load directly: every CLI surface is
+            # real-checkpoint ready the moment geoformer.ckpt exists here
+            from geoformer_tpu.utils.torch_convert import (
+                convert_state_dict,
+                load_torch_checkpoint,
+            )
+
+            params = convert_state_dict(load_torch_checkpoint(args.ckpt))
+        else:
+            # exports store {'params', 'batch_stats'[, metadata]}; bare param
+            # trees get wrapped, metadata (e.g. 'step') is dropped
+            params = load_variables(args.ckpt)
     else:
         import jax.numpy as jnp
 
@@ -86,6 +96,7 @@ def cmd_train(args):
         texture_style=args.texture_style,
         image_fraction=args.data_mix,
         log_figures=args.log_figures,
+        sensor_aug=args.sensor_aug,
     )
 
 
@@ -168,6 +179,41 @@ def cmd_eval(args):
     print(json.dumps(out, indent=2, default=float))
 
 
+def cmd_parity(args):
+    """Real-data readiness drill: converted checkpoint -> HPatches protocol
+    -> diff vs the reference's published block with a pass/fail gate.
+
+    The reference README block (reference: README.md:110-120, protocol
+    eval_configs/geoformer.yml hpatch: imsize 480, no_match_upscale) is the
+    default expectation; --expect overrides it for rehearsals on synthetic
+    corpora. Exits non-zero when any AUC threshold misses the gate."""
+    import sys
+
+    import numpy as np
+
+    from geoformer_tpu.eval.hpatches import eval_hpatches
+
+    cfg, params = _model_and_params(args)
+    out = eval_hpatches(params, cfg, args.hpatches, imsize=args.imsize,
+                        ransac_thr=args.ransac_thr, max_seqs=args.max_seqs)
+    expect = [float(x) for x in args.expect.split(",")]
+    rec = {"auc_a": out.get("auc_a"), "expected_auc_a": expect,
+           "gate_pt": args.gate_pt, "est_failed": out.get("est_failed"),
+           "n_pairs": out.get("n_pairs"),
+           "mean_matches": out.get("mean_matches")}
+    if out.get("auc_a"):
+        delta = (np.asarray(out["auc_a"]) - np.asarray(expect)) * 100.0
+        rec["delta_pt"] = [round(float(d), 2) for d in delta]
+        # one-sided gate: beating the block is a pass, trailing it by more
+        # than gate_pt at any threshold is a fail
+        rec["pass"] = bool((delta >= -args.gate_pt).all())
+    else:
+        rec["pass"] = False
+    print(json.dumps(rec, default=float))
+    if not rec["pass"]:
+        sys.exit(1)
+
+
 def cmd_infer(args):
     import numpy as np
 
@@ -190,8 +236,10 @@ def cmd_infer(args):
         seq_mesh = Mesh(np.array(devs[:args.seq_shard]), ("seq",))
     matcher = BatchedMatcher(cfg, params, batch_size=1, seq_mesh=seq_mesh)
     t0 = time.time()
-    (mk0, mk1, conf), = matcher.match_batch([im0], [im1])
-    print(f"{len(mk0)} matches in {time.time() - t0:.2f}s")
+    (mk0, mk1, conf, geo), = matcher.match_batch([im0], [im1],
+                                                 return_geo=True)
+    print(f"{len(mk0)} matches in {time.time() - t0:.2f}s "
+          f"(GAM: has_H={geo['has_H']} inliers={geo['num_inliers']})")
     if args.draw:
         from geoformer_tpu.utils.plotting import make_matching_figure
 
@@ -199,6 +247,14 @@ def cmd_infer(args):
                              text=[f"GeoFormer-TPU", f"{len(mk0)} matches"],
                              path=args.draw)
         print(f"figure -> {args.draw}")
+    if args.draw_geo:
+        from geoformer_tpu.utils.plotting import make_geo_window_figure
+
+        make_geo_window_figure(im0, im1, geo["H"], geo["has_H"],
+                               scale=cfg.coarse_scale,
+                               window_size=cfg.geo.window_size,
+                               path=args.draw_geo)
+        print(f"GAM window figure -> {args.draw_geo}")
     mk0 = mk0 * np.array(sc0)
     mk1 = mk1 * np.array(sc1)
     if args.out:
@@ -345,6 +401,10 @@ def main():
     t.add_argument("--warmup", type=int, default=0,
                    help="override warmup in actual steps")
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--sensor-aug", action="store_true",
+                   help="camera-realism augmentation on both views "
+                        "(defocus/vignette/shot-read-noise/JPEG; the offline "
+                        "lever against the real-photo domain gap)")
     t.add_argument("--texture-style", choices=("mixed", "structured"),
                    default="mixed",
                    help="procedural bank family mix (mixed adds dead-leaves "
@@ -447,11 +507,32 @@ def main():
     common(ex)
     ex.set_defaults(fn=cmd_export)
 
+    pa = sub.add_parser(
+        "parity",
+        help="readiness drill: run the HPatches protocol on a (torch or npz) "
+             "checkpoint and gate the AUC block against the reference's "
+             "published numbers")
+    pa.add_argument("--hpatches", required=True,
+                    help="hpatches-sequences-release root")
+    pa.add_argument("--ransac-thr", type=float, default=3.0)
+    pa.add_argument("--max-seqs", type=int, default=None)
+    pa.add_argument("--expect", default="0.5154,0.7206,0.7997,0.8768",
+                    help="expected AUC@1,3,5,10 (default: the reference "
+                         "README block)")
+    pa.add_argument("--gate-pt", type=float, default=1.0,
+                    help="max allowed shortfall per threshold, in points")
+    common(pa)
+    pa.set_defaults(fn=cmd_parity)
+
     i = sub.add_parser("infer")
     i.add_argument("image0")
     i.add_argument("image1")
     i.add_argument("--out", default=None)
     i.add_argument("--draw", default=None, help="write a match figure (png)")
+    i.add_argument("--draw-geo", default=None,
+                   help="write the GAM geometry-window debug overlay (png): "
+                        "where each image0 cell attends in image1 under the "
+                        "fitted homography (cross_draw counterpart)")
     i.add_argument("--seq-shard", type=int, default=0,
                    help="shard the pair's tokens over this many devices "
                         "(sequence-parallel high-res matching)")

@@ -208,19 +208,26 @@ def load_image_dir(root: str, hw: Tuple[int, int]) -> Optional[np.ndarray]:
     return np.stack(out) if out else None
 
 
-@partial(jax.jit, static_argnames=("coarse_scale",))
-def make_pair_batch(base: jax.Array, key: jax.Array, coarse_scale: int = 8):
+@partial(jax.jit, static_argnames=("coarse_scale", "sensor"))
+def make_pair_batch(base: jax.Array, key: jax.Array, coarse_scale: int = 8,
+                    sensor: bool = False):
     """Turn base images [B, H, W] into supervised homography pairs on-device.
 
     Mirrors HomoDataset.get_pair (HomoDataset.py:83-158): sample H, warp,
     photometric jitter, compute coarse-resolution valid masks from the warp,
     and swap the pair (with H^{-1}) for half the samples.
 
+    sensor=True additionally passes BOTH views through the camera-realism
+    stack (augment.sensor_aug: defocus/vignette/shot-read-noise/JPEG) with
+    independent per-view draws — the offline lever against the measured
+    real-photo gap (RESULTS.md; labels are unchanged since the stack is
+    purely photometric).
+
     Returns dict: image0/image1 [B,H,W,1], H_0to1/H_1to0 [B,3,3],
     mask0/mask1 [B, H/8, W/8].
     """
     b, h, w = base.shape
-    keys = jax.random.split(key, 5)
+    keys = jax.random.split(key, 6)
     Hs = jax.vmap(lambda k: sample_homography(k, (h, w)))(
         jax.random.split(keys[0], b))
 
@@ -241,6 +248,13 @@ def make_pair_batch(base: jax.Array, key: jax.Array, coarse_scale: int = 8):
         [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
     do_blur = jax.random.uniform(kbl, (b, 1, 1, 1)) < 0.3
     img1 = jnp.clip(jnp.where(do_blur, blur, img1) + noise, 0.0, 1.0)
+
+    if sensor:
+        from geoformer_tpu.data.augment import sensor_aug
+
+        ks0, ks1 = jax.random.split(keys[5])
+        img0 = sensor_aug(ks0, img0)
+        img1 = sensor_aug(ks1, img1)
 
     # coarse-resolution validity: cell center maps inside the source image
     hc, wc = h // coarse_scale, w // coarse_scale

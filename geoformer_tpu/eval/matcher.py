@@ -194,11 +194,15 @@ class BatchedMatcher:
             log(f"prewarm {i + 1}/{len(buckets)}: {H}x{W} "
                 f"compiled in {time.time() - t0:.1f}s")
 
-    def match_batch(self, imgs0: List[np.ndarray], imgs1: List[np.ndarray]):
+    def match_batch(self, imgs0: List[np.ndarray], imgs1: List[np.ndarray],
+                    return_geo: bool = False):
         """Match a list of same-bucket image pairs (arbitrary true sizes).
 
         Returns per-pair (mkpts0 [K,2], mkpts1 [K,2], mconf [K]) in the
-        resized (pre-padding) pixel frame.
+        resized (pre-padding) pixel frame. With return_geo=True each tuple
+        gains a 4th element: the pair's GAM state
+        {'H' [3,3], 'has_H' bool, 'num_inliers' int} — the input to
+        utils/plotting.make_geo_window_figure when debugging the GAM.
         """
         s = self.cfg.coarse_scale
         # elementwise max over bucketed shapes (lexicographic tuple-max would
@@ -231,5 +235,10 @@ class BatchedMatcher:
             valid = np.asarray(res.fine.valid)
             for j in range(k):
                 v = valid[j]
-                out.append((mk0[j][v], mk1[j][v], mc[j][v]))
+                row = (mk0[j][v], mk1[j][v], mc[j][v])
+                if return_geo:
+                    row += ({"H": np.asarray(res.geo.H[j]),
+                             "has_H": bool(res.geo.has_H[j]),
+                             "num_inliers": int(res.geo.num_inliers[j])},)
+                out.append(row)
         return out

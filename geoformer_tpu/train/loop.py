@@ -58,6 +58,7 @@ def run_training(
     texture_style: str = "mixed",
     image_fraction: float = 1.0,
     log_figures: bool = False,
+    sensor_aug: bool = False,
 ):
     devices = np.array(jax.devices())
     mesh = Mesh(devices, ("data",))
@@ -112,7 +113,8 @@ def run_training(
                                        texture_style=texture_style,
                                        image_fraction=image_fraction)
         val_base = jnp.asarray(next(val_stream))
-        val_batch = make_pair_batch(val_base, jax.random.key(seed + 777))
+        val_batch = make_pair_batch(val_base, jax.random.key(seed + 777),
+                                    sensor=sensor_aug)
 
     tb = None
     if tensorboard:
@@ -142,7 +144,7 @@ def run_training(
             base = jax.device_put(jnp.asarray(next(stream)), data_sh)
             pair_key, k1 = jax.random.split(pair_key)
             ransac_key, k2 = jax.random.split(ransac_key)
-            batch = make_pair_batch(base, k1)
+            batch = make_pair_batch(base, k1, sensor=sensor_aug)
             lr_now = jnp.asarray(float(schedule(step)), jnp.float32)
             state, metrics = step_fn(state, batch, k2, lr_now)
             if (step + 1) % log_every == 0 or step == 0:

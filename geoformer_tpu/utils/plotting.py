@@ -97,6 +97,94 @@ def make_matching_figure(
     return fig
 
 
+def make_geo_window_figure(
+    img0: np.ndarray,
+    img1: np.ndarray,
+    H: np.ndarray,
+    has_H: bool = True,
+    scale: int = 8,
+    window_size: int = 5,
+    stride: int = 777,
+    path: Optional[str] = None,
+    dpi: int = 150,
+):
+    """GAM debug view: where does each (subsampled) image0 coarse cell look
+    in image1 under the fitted homography?
+
+    The diagnostic counterpart of the reference's cross_draw
+    (reference: model/geo_module.py:120-193) built on this module's
+    composited-canvas + LineCollection approach: cyan query cells on img0,
+    lime (2r+1)^2 window cells on img1, one translucent line bundle per
+    query. With has_H False (RANSAC failed — the case this view is for),
+    the cross layers were identity; the figure says so instead of drawing
+    a meaningless warp.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib.collections import LineCollection
+    import matplotlib.pyplot as plt
+
+    img0 = np.asarray(img0)
+    img1 = np.asarray(img1)
+    canvas, x1 = compose_pair(img0, img1)
+    fig, ax = plt.subplots(
+        figsize=(canvas.shape[1] / 100, canvas.shape[0] / 100), dpi=dpi)
+    ax.imshow(canvas, cmap="gray", vmin=0, vmax=1)
+    ax.set_axis_off()
+    fig.subplots_adjust(left=0, right=1, top=1, bottom=0)
+
+    if not has_H:
+        ax.annotate("no homography (RANSAC failed) — cross layers identity",
+                    xy=(0.01, 0.99), xycoords="axes fraction", fontsize=12,
+                    va="top", ha="left", color="k",
+                    bbox=dict(boxstyle="round", fc="w", alpha=0.8))
+        if path:
+            fig.savefig(path, bbox_inches="tight", pad_inches=0)
+            plt.close(fig)
+            return None
+        return fig
+
+    h0c, w0c = img0.shape[0] // scale, img0.shape[1] // scale
+    h1, w1 = img1.shape[:2]
+    r = window_size // 2
+    H = np.asarray(H, np.float64)
+    ids = np.arange(0, h0c * w0c, stride)
+    q = np.stack([(ids % w0c) * scale, (ids // w0c) * scale], -1).astype(
+        np.float64)                                         # query px (x, y)
+    ph = np.concatenate([q, np.ones((len(q), 1))], 1) @ H.T
+    ctr = ph[:, :2] / np.where(np.abs(ph[:, 2:]) < 1e-9, 1e-9, ph[:, 2:])
+    offs = np.stack(np.meshgrid(np.arange(-r, r + 1) * scale,
+                                np.arange(-r, r + 1) * scale,
+                                indexing="xy"), -1).reshape(-1, 2)
+    win = ctr[:, None, :] + offs[None]                      # [Q, W*W, 2]
+    inb = ((win[..., 0] >= 0) & (win[..., 0] < w1)
+           & (win[..., 1] >= 0) & (win[..., 1] < h1))
+
+    segs, win_pts, q_pts = [], [], []
+    for qi in range(len(q)):
+        pts = win[qi][inb[qi]]
+        if len(pts) == 0:
+            continue
+        pts_c = pts + np.array([x1, 0.0])
+        segs.extend(np.stack([np.broadcast_to(q[qi], pts_c.shape), pts_c],
+                             axis=1))
+        win_pts.append(pts_c)
+        q_pts.append(q[qi])
+    if segs:
+        ax.add_collection(LineCollection(
+            np.asarray(segs), colors=(0.0, 1.0, 0.0, 0.08), linewidths=1))
+        wp = np.concatenate(win_pts)
+        ax.scatter(wp[:, 0], wp[:, 1], c="lime", s=2)
+        qp = np.asarray(q_pts)
+        ax.scatter(qp[:, 0], qp[:, 1], c="cyan", s=14)
+    if path:
+        fig.savefig(path, bbox_inches="tight", pad_inches=0)
+        plt.close(fig)
+        return None
+    return fig
+
+
 def log_val_match_figure(tb, out, batch, step: int, tag: str = "val/matches"):
     """Render the first pair's predicted matches to TensorBoard.
 

@@ -161,6 +161,106 @@ def convert_state_dict(sd: Dict[str, "np.ndarray"],
     return {"params": params, "batch_stats": stats}
 
 
+def _get(tree: Dict, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
+
+
+def _rev_conv(sd, params, tpath, jpath):
+    sd[tpath + ".weight"] = np.transpose(_get(params, jpath + ("kernel",)),
+                                         (3, 2, 0, 1))
+    try:
+        sd[tpath + ".bias"] = _get(params, jpath + ("bias",))
+    except KeyError:
+        pass
+
+
+def _rev_bn(sd, params, stats, tpath, jpath):
+    sd[tpath + ".weight"] = _get(params, jpath + ("scale",))
+    sd[tpath + ".bias"] = _get(params, jpath + ("bias",))
+    sd[tpath + ".running_mean"] = _get(stats, jpath + ("mean",))
+    sd[tpath + ".running_var"] = _get(stats, jpath + ("var",))
+
+
+def _rev_linear(sd, params, tpath, jpath):
+    sd[tpath + ".weight"] = np.transpose(_get(params, jpath + ("kernel",)))
+    try:
+        sd[tpath + ".bias"] = _get(params, jpath + ("bias",))
+    except KeyError:
+        pass
+
+
+def _rev_layernorm(sd, params, tpath, jpath):
+    sd[tpath + ".weight"] = _get(params, jpath + ("scale",))
+    sd[tpath + ".bias"] = _get(params, jpath + ("bias",))
+
+
+def _rev_encoder_layer(sd, params, tprefix, jprefix):
+    for name in ("q_proj", "k_proj", "v_proj", "merge"):
+        _rev_linear(sd, params, f"{tprefix}.{name}", jprefix + (name,))
+    _rev_linear(sd, params, f"{tprefix}.mlp.0", jprefix + ("mlp0",))
+    _rev_linear(sd, params, f"{tprefix}.mlp.2", jprefix + ("mlp1",))
+    _rev_layernorm(sd, params, f"{tprefix}.norm1", jprefix + ("norm1",))
+    _rev_layernorm(sd, params, f"{tprefix}.norm2", jprefix + ("norm2",))
+
+
+def to_torch_state_dict(variables: Dict,
+                        n_coarse_layers: int = 8,
+                        n_geo_layers: int = 4,
+                        n_fine_layers: int = 2,
+                        prefix: str = "matcher.") -> Dict[str, np.ndarray]:
+    """Inverse of convert_state_dict: flax variables -> reference-named
+    state_dict (numpy values, '.weight' layouts transposed back).
+
+    Lets TPU-trained weights run under the reference's own torch tooling,
+    and fabricates drill checkpoints for `cli parity` rehearsals.
+    Only the (8, 2) backbone layout is covered (the released model's).
+    """
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    p = ("backbone",)
+    _rev_conv(sd, params, "backbone.conv1", p + ("conv1",))
+    _rev_bn(sd, params, stats, "backbone.bn1", p + ("bn1",))
+    for li in (1, 2, 3):
+        for bi in (0, 1):
+            t = f"backbone.layer{li}.{bi}"
+            j = p + (f"layer{li}_{bi}",)
+            _rev_conv(sd, params, f"{t}.conv1", j + ("conv1",))
+            _rev_conv(sd, params, f"{t}.conv2", j + ("conv2",))
+            _rev_bn(sd, params, stats, f"{t}.bn1", j + ("bn1",))
+            _rev_bn(sd, params, stats, f"{t}.bn2", j + ("bn2",))
+            if "conv_down" in params["backbone"].get(f"layer{li}_{bi}", {}):
+                _rev_conv(sd, params, f"{t}.downsample.0", j + ("conv_down",))
+                _rev_bn(sd, params, stats, f"{t}.downsample.1",
+                        j + ("bn_down",))
+    _rev_conv(sd, params, "backbone.layer3_outconv", p + ("l3_out",))
+    _rev_conv(sd, params, "backbone.layer2_outconv", p + ("l2_out",))
+    _rev_conv(sd, params, "backbone.layer2_outconv2.0", p + ("l2_m1",))
+    _rev_bn(sd, params, stats, "backbone.layer2_outconv2.1", p + ("l2_bn",))
+    _rev_conv(sd, params, "backbone.layer2_outconv2.3", p + ("l2_m2",))
+    _rev_conv(sd, params, "backbone.layer1_outconv", p + ("l1_out",))
+    _rev_conv(sd, params, "backbone.layer1_outconv2.0", p + ("l1_m1",))
+    _rev_bn(sd, params, stats, "backbone.layer1_outconv2.1", p + ("l1_bn",))
+    _rev_conv(sd, params, "backbone.layer1_outconv2.3", p + ("l1_m2",))
+    for i in range(n_coarse_layers):
+        _rev_encoder_layer(sd, params, f"loftr_coarse.layers.{i}",
+                           ("loftr_coarse", f"layer_{i}"))
+    for i in range(n_geo_layers):
+        _rev_encoder_layer(sd, params,
+                           f"geo_module.des_transformer.layers.{i}",
+                           ("geo_module", f"layer_{i}"))
+    for i in range(n_fine_layers):
+        _rev_encoder_layer(sd, params, f"loftr_fine.layers.{i}",
+                           ("loftr_fine", f"layer_{i}"))
+    _rev_linear(sd, params, "fine_preprocess.down_proj",
+                ("fine_preprocess", "down_proj"))
+    _rev_linear(sd, params, "fine_preprocess.merge_feat",
+                ("fine_preprocess", "merge_feat"))
+    return {prefix + k: v for k, v in sd.items()}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .ckpt/.pth on CPU and return a numpy state_dict."""
     import torch

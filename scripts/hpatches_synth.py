@@ -82,6 +82,14 @@ def _corner_h(rng, hw0, hw1, mag=0.22):
     return cv2.getPerspectiveTransform(src, dst + jitter)
 
 
+def _ppm8(im) -> np.ndarray:
+    """Gray [0,1] float -> 3-channel uint8: OpenCV 5 refuses grayscale .ppm
+    writes (grfmt_pxm 'expects BGR image'), which silently produced
+    imageless sequences until round 4."""
+    g = (np.clip(im, 0, 1) * 255).astype(np.uint8)
+    return np.repeat(g[..., None], 3, axis=-1)
+
+
 def build(out_dir: str, n_i: int = 52, n_v: int = 56, seed: int = 0,
           use_images: bool = True) -> int:
     import cv2
@@ -102,7 +110,7 @@ def build(out_dir: str, n_i: int = 52, n_v: int = 56, seed: int = 0,
         hw0 = _size(rng)
         base = _texture(rng, hw0, bank)
         cv2.imwrite(os.path.join(seq, "1.ppm"),
-                    (base * 255).astype(np.uint8))
+                    _ppm8(base))
         for idx in range(2, 7):
             if name.startswith("i_"):
                 hwk, H = hw0, np.eye(3)
@@ -115,7 +123,7 @@ def build(out_dir: str, n_i: int = 52, n_v: int = 56, seed: int = 0,
                 im = cv2.warpPerspective(base, H, (hwk[1], hwk[0]))
                 im = _photometric(rng, im)
             cv2.imwrite(os.path.join(seq, f"{idx}.ppm"),
-                        (np.clip(im, 0, 1) * 255).astype(np.uint8))
+                        _ppm8(im))
             np.savetxt(os.path.join(seq, f"H_1_{idx}"), H)
     return len(names)
 

@@ -177,3 +177,23 @@ def test_log_val_match_figure_records_to_writer():
     (tag, fig, step), = tb.calls
     assert tag == "val/matches" and step == 7
     assert fig.get_axes(), "figure should carry the composited axes"
+
+
+def test_geo_window_figure_smoke(tmp_path):
+    """GAM window overlay (cross_draw counterpart): renders for a valid H
+    and degrades to an annotation when RANSAC failed."""
+    import os
+
+    from geoformer_tpu.utils.plotting import make_geo_window_figure
+
+    rng = np.random.default_rng(2)
+    img0 = rng.random((64, 80)).astype(np.float32)
+    img1 = rng.random((64, 80)).astype(np.float32)
+    H = np.array([[1.0, 0.02, 4.0], [-0.01, 1.0, -3.0], [1e-5, 0, 1.0]])
+    p = str(tmp_path / "geo.png")
+    make_geo_window_figure(img0, img1, H, has_H=True, scale=8,
+                           window_size=5, stride=17, path=p)
+    assert os.path.getsize(p) > 0
+    p2 = str(tmp_path / "geo_fail.png")
+    make_geo_window_figure(img0, img1, np.eye(3), has_H=False, path=p2)
+    assert os.path.getsize(p2) > 0

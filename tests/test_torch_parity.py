@@ -265,3 +265,30 @@ def test_full_checkpoint_conversion_loads_and_runs():
 
     out = model.apply(variables, img, img, rngs={"ransac": jax.random.key(1)})
     assert np.isfinite(np.asarray(out.fine.mkpts0)).all()
+
+
+def test_to_torch_state_dict_roundtrip():
+    """flax -> torch names -> flax must be the identity (the parity drill's
+    fabricated checkpoints depend on it)."""
+    from geoformer_tpu.utils.torch_convert import (
+        convert_state_dict,
+        to_torch_state_dict,
+    )
+
+    rng = np.random.default_rng(3)
+    sd0 = _full_reference_state_dict(rng)
+    variables = convert_state_dict(sd0)
+    sd1 = to_torch_state_dict(variables)
+    # every original key appears ('matcher.'-prefixed, normalizing the mixed
+    # prefixes the fabricated dict uses) with identical values
+    norm = {("" if k.startswith("matcher.") else "matcher.") + k: v
+            for k, v in sd0.items()}
+    assert set(sd1) == set(norm)
+    for k, v in norm.items():
+        np.testing.assert_allclose(sd1[k], np.asarray(v),
+                                   rtol=0, atol=0, err_msg=k)
+    # and converting back reproduces the flax tree exactly
+    variables2 = convert_state_dict(
+        {k: np.asarray(v) for k, v in sd1.items()})
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(variables2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
