@@ -180,3 +180,22 @@ def test_linear_attention_flat_matches_split():
         np.testing.assert_allclose(np.asarray(got),
                                    np.asarray(ref).reshape(b, l, c),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_encoder_layer_linear_flat_matches_linear():
+    """EncoderLayer(attention='linear_flat') must reproduce the 'linear'
+    output exactly at fine-stack shapes (same params)."""
+    import jax
+
+    from geoformer_tpu.models.transformer import EncoderLayer
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((3, 25, 128)).astype(np.float32))
+    src = jnp.asarray(rng.random((3, 25, 128)).astype(np.float32))
+    lin = EncoderLayer(128, 8, attention="linear")
+    flat = EncoderLayer(128, 8, attention="linear_flat")
+    params = lin.init(jax.random.key(0), x, src)
+    a = lin.apply(params, x, src)
+    b = flat.apply(params, x, src)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
