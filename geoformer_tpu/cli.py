@@ -282,6 +282,9 @@ def cmd_localize(args):
     from geoformer_tpu.eval.matcher import BatchedMatcher, load_gray
     from geoformer_tpu.eval.sfm_localize import parse_queries_with_intrinsics
 
+    if not args.scan_dir and not (args.nvm and args.database):
+        raise SystemExit("localize needs either --scan-dir (dense InLoc "
+                         "mode) or both --nvm and --database (SfM mode)")
     cfg, params = _model_and_params(args)
     matcher = BatchedMatcher(cfg, params, batch_size=1)
     import numpy as np
@@ -294,18 +297,40 @@ def cmd_localize(args):
                               axis=1)
 
     queries = parse_queries_with_intrinsics(args.queries)
-    run_localization(
-        nvm_path=args.nvm,
-        db_path=args.database,
-        out_dir=args.out,
-        match_pairs_fn=match_pairs_fn,
-        queries=queries,
-        query_pairs=load_pairs_txt(args.query_pairs),
-        db_pairs=load_pairs_txt(args.db_pairs) if args.db_pairs else None,
-        intrinsics_txt=args.intrinsics_txt,
-        covis_topk=args.covis_topk,
-        ransac_thr_px=args.ransac_thr,
-    )
+    query_pairs = load_pairs_txt(args.query_pairs)
+    if args.scan_dir:
+        # InLoc-style dense-depth mode: 3D from per-db-image depth scans
+        # (eval/inloc.py), no NVM/triangulation needed.
+        from geoformer_tpu.eval.inloc import (
+            load_db_scans,
+            localize_queries_dense,
+        )
+        from geoformer_tpu.eval.sfm_localize import write_pose_file
+
+        db_names = sorted({n for _, n in query_pairs})
+        scans = load_db_scans(args.scan_dir, db_names)
+        qmatches = {}
+        for qn, dbn in query_pairs:
+            if dbn not in scans:
+                continue
+            qmatches.setdefault(qn, {})[dbn] = match_pairs_fn(qn, dbn)
+        poses = localize_queries_dense(queries, qmatches, scans,
+                                       ransac_thr_px=args.ransac_thr)
+        os.makedirs(args.out, exist_ok=True)
+        write_pose_file(poses, os.path.join(args.out, "poses.txt"))
+    else:
+        run_localization(
+            nvm_path=args.nvm,
+            db_path=args.database,
+            out_dir=args.out,
+            match_pairs_fn=match_pairs_fn,
+            queries=queries,
+            query_pairs=query_pairs,
+            db_pairs=load_pairs_txt(args.db_pairs) if args.db_pairs else None,
+            intrinsics_txt=args.intrinsics_txt,
+            covis_topk=args.covis_topk,
+            ransac_thr_px=args.ransac_thr,
+        )
     print(f"poses -> {os.path.join(args.out, 'poses.txt')}")
 
 
@@ -462,8 +487,14 @@ def main():
 
     lz = sub.add_parser("localize",
                         help="Aachen-style visual localization end-to-end")
-    lz.add_argument("--nvm", required=True, help="reference NVM model")
-    lz.add_argument("--database", required=True, help="COLMAP db with ids")
+    lz.add_argument("--nvm", default=None, help="reference NVM model "
+                    "(required unless --scan-dir)")
+    lz.add_argument("--database", default=None, help="COLMAP db with ids "
+                    "(required unless --scan-dir)")
+    lz.add_argument("--scan-dir", default=None,
+                    help="InLoc-style dense mode: directory of per-db-image "
+                         "npz scans (depth/K/T_w2c); replaces the NVM + "
+                         "triangulation path")
     lz.add_argument("--images", required=True, help="image root dir")
     lz.add_argument("--queries", required=True,
                     help="queries_with_intrinsics.txt")
