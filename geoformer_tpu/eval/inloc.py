@@ -17,7 +17,7 @@ sfm_localize.write_pose_file for the benchmark submission format.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -27,7 +27,6 @@ def unproject_depth(
     depth: np.ndarray,
     K: np.ndarray,
     T_w2c: np.ndarray,
-    max_interp_px: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Lift 2D db-image points to 3D world points through a dense depth map.
 
@@ -82,7 +81,7 @@ def localize_queries_dense(
 
     from geoformer_tpu.engine.pnp import pnp_ransac
     from geoformer_tpu.eval.colmap_io import camera_K
-    from geoformer_tpu.eval.sfm_localize import rotmat2qvec  # noqa: F401
+    from geoformer_tpu.eval.sfm_localize import rotmat2qvec
 
     results: Dict[str, dict] = {}
     key = jax.random.key(seed)
