@@ -37,9 +37,10 @@ def main():
                          "2x bf16; eval-only, ops/quantize.py)")
     ap.add_argument("--int8-full", action="store_true",
                     help="int8 backbone AND transformer projections/MLPs")
-    ap.add_argument("--fine-flat", action="store_true",
-                    help="flat-layout linear attention in the fine stack "
-                         "(VERDICT r3 #8 A/B)")
+    ap.add_argument("--no-fine-flat", action="store_true",
+                    help="per-head linear attention in the fine stack "
+                         "(flat layout is the default: +6.7% end-to-end, "
+                         "RESULTS.md r4)")
     args = ap.parse_args()
     args.bf16 = not args.f32
     args.pallas = not args.no_pallas
@@ -83,7 +84,7 @@ def main():
         coarse=CoarseTransformerConfig(int8=args.int8_full),
         fine=FineTransformerConfig(
             int8=args.int8_full,
-            attention="linear_flat" if args.fine_flat else "linear"),
+            attention="linear" if args.no_fine_flat else "linear_flat"),
         match=MatchConfig(max_matches=1024),
         geo=GeoModuleConfig(ransac_iters=256, max_inliers=1024,
                             use_pallas=args.pallas,

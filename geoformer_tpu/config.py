@@ -46,7 +46,11 @@ class FineTransformerConfig:
     d_model: int = 128
     nhead: int = 8
     layer_names: Tuple[str, ...] = ("self", "cross")
-    attention: str = "linear"
+    # linear_flat = math-identical linear attention in [B, L, C] layout; at
+    # the fine stack's 25-token windows it skips the head-split relayouts and
+    # measures +6.7% end-to-end (bench 55.2 vs 51.7 pairs/s, RESULTS.md r4).
+    # Measured SLOWER at coarse shapes, so only the fine default changes.
+    attention: str = "linear_flat"
     int8: bool = False  # eval-only dynamic int8 projections (ops/quantize)
 
 
