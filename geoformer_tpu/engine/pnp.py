@@ -47,6 +47,51 @@ def _dlt_pose(pts3d: jax.Array, uv_norm: jax.Array, w: jax.Array):
     return T
 
 
+def _homography_pose(pts3d: jax.Array, uv_norm: jax.Array, w: jax.Array):
+    """Pose from near-coplanar 2D-3D matches via plane-homography
+    decomposition (the IPPE/planar-PnP case cv2.solvePnP handles with
+    SOLVEPNP_IPPE). The 6-point DLT is rank-deficient when the sampled 3D
+    points are coplanar — the dominant configuration in man-made scenes
+    (building facades, walls) — so RANSAC scores hypotheses from BOTH
+    solvers and keeps whichever fits.
+
+    Fits a plane to the weighted points, maps plane coordinates to
+    normalized image coordinates with a weighted homography DLT, and reads
+    the pose off H = s * [R e1, R e2, R mu + t].
+    """
+    hp = jax.lax.Precision.HIGHEST
+    wsum = w.sum() + 1e-9
+    mu = (pts3d * w[:, None]).sum(0) / wsum
+    d = pts3d - mu
+    C = jnp.matmul((d * w[:, None]).T, d, precision=hp)
+    _, evecs = jnp.linalg.eigh(C)                    # ascending eigenvalues
+    e1, e2 = evecs[:, 2], evecs[:, 1]                # in-plane basis
+    st = jnp.stack([d @ e1, d @ e2], -1)             # [N, 2] plane coords
+    x, y = st[:, 0], st[:, 1]
+    u, v = uv_norm[:, 0], uv_norm[:, 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y, -u], -1)
+    r2 = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y, -v], -1)
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))[:, None]
+    A = jnp.concatenate([r1 * sw, r2 * sw], axis=0)  # [2N, 9]
+    _, vecs = jnp.linalg.eigh(jnp.matmul(A.T, A, precision=hp))
+    H = vecs[:, 0].reshape(3, 3)
+    # sign: the plane centroid (st = 0) must have positive depth
+    H = H * jnp.where(H[2, 2] < 0, -1.0, 1.0)
+    B = H[:, :2]                                     # s * [R e1, R e2]
+    U, S, Vt = jnp.linalg.svd(B, full_matrices=False)
+    R12 = jnp.matmul(U, Vt, precision=hp)            # closest orthonormal
+    scale = S.mean()
+    r3 = jnp.cross(R12[:, 0], R12[:, 1])
+    R_cp = jnp.stack([R12[:, 0], R12[:, 1], r3], axis=1)  # plane -> cam
+    t_cam = H[:, 2] / jnp.where(scale < 1e-12, 1e-12, scale)
+    E = jnp.stack([e1, e2, jnp.cross(e1, e2)], axis=1)    # plane -> world
+    R_w2c = jnp.matmul(R_cp, E.T, precision=hp)
+    t_w2c = t_cam - R_w2c @ mu
+    return jnp.eye(4).at[:3, :3].set(R_w2c).at[:3, 3].set(t_w2c)
+
+
 def _reproj_norm(T, pts3d, uv_norm):
     pc = pts3d @ T[:3, :3].T + T[:3, 3]
     z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
@@ -81,10 +126,14 @@ def pnp_ransac(
     _, idx = jax.lax.top_k(scores, 6)
 
     def fit_min(sample_idx):
-        w = jnp.zeros(n).at[sample_idx].set(1.0)
-        return _dlt_pose(pts3d, uv_norm, w * valid)
+        w = jnp.zeros(n).at[sample_idx].set(1.0) * valid
+        # general (DLT) + planar (homography) hypotheses per sample: the
+        # DLT is degenerate for coplanar samples, the homography for
+        # strongly non-coplanar ones; scoring keeps whichever fits.
+        return jnp.stack([_dlt_pose(pts3d, uv_norm, w),
+                          _homography_pose(pts3d, uv_norm, w)])
 
-    Ts = jax.vmap(fit_min)(idx)
+    Ts = jax.vmap(fit_min)(idx).reshape(-1, 4, 4)            # [2*iters,4,4]
     errs = jax.vmap(_reproj_norm, in_axes=(0, None, None))(Ts, pts3d, uv_norm)
     inl = (errs < thr) & valid[None, :]
     finite = jnp.isfinite(Ts).all(axis=(1, 2))
@@ -93,11 +142,20 @@ def pnp_ransac(
     T = jnp.where(jnp.isfinite(Ts[best]).all(), Ts[best], jnp.eye(4))
     inliers = inl[best]
 
-    # refit on inliers, then Gauss-Newton polish on se(3)
+    # refit on inliers (both solvers), then Gauss-Newton polish on se(3)
     w = inliers.astype(jnp.float32) * valid
-    T_fit = _dlt_pose(pts3d, uv_norm, w)
-    good = jnp.isfinite(T_fit).all() & (w.sum() >= 6)
-    T = jnp.where(good, T_fit, T)
+
+    def _score(Tc):
+        good = jnp.isfinite(Tc).all() & (w.sum() >= 6)
+        cnt = ((_reproj_norm(Tc, pts3d, uv_norm) < thr) & valid).sum()
+        return jnp.where(good, cnt, -1)
+
+    T_dlt = _dlt_pose(pts3d, uv_norm, w)
+    T_h = _homography_pose(pts3d, uv_norm, w)
+    cands = jnp.stack([T, T_dlt, T_h])
+    scores = jnp.stack([inliers.sum(), _score(T_dlt), _score(T_h)])
+    T = cands[jnp.argmax(scores)]
+    T = jnp.where(jnp.isfinite(T).all(), T, jnp.eye(4))
 
     def gn(_, T):
         def resid(xi):

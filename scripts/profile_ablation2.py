@@ -1,8 +1,10 @@
-"""Ablation round 2: decompose the non-GAM ~118 ms of the B=8 forward.
+"""Ablation round 2: decompose the non-GAM mass of the B=8 forward.
 
-Same bench-grade methodology as profile_ablation.py (distinct inputs,
-host fetch per call, median). Adds raw backbone / coarse-transformer
-timings and a batch sweep to expose the fixed tunnel/dispatch overhead.
+Isolated raw-stage rigs over the tunnel are untrustworthy (twice observed
+timing single stages SLOWER than the whole forward — plugin dispatch
+artifacts), so this measures ONLY full-model config ablations under bench
+methodology (distinct inputs, host fetch per call, median of 8 — see
+profile_ablation.bench_model).
 
     python scripts/profile_ablation2.py
 """
@@ -12,30 +14,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 from profile_ablation import bench_model  # noqa: E402
-
-
-def bench_fn(fn, inputs_bank, label, iters=8):
-    out = fn(*inputs_bank[0])
-    jax.block_until_ready(out)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*inputs_bank[i % len(inputs_bank)])
-        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times)) * 1e3
-    print(f"{label:<46} {med:8.1f} ms   (p10-p90 "
-          f"{np.percentile(times, 10)*1e3:.0f}-"
-          f"{np.percentile(times, 90)*1e3:.0f})", flush=True)
-    return med
 
 
 def main():
@@ -54,13 +33,8 @@ def main():
         MatchConfig,
     )
     from geoformer_tpu.models import GeoFormer
-    from geoformer_tpu.models.backbone import ResNetFPN
-    from geoformer_tpu.models.transformer import LocalFeatureTransformer
 
     B, H, W = 8, 480, 640
-    L = (H // 8) * (W // 8)
-    rng = np.random.default_rng(0)
-    key = jax.random.key(0)
 
     base = GeoFormerConfig(
         match=MatchConfig(max_matches=1024),
@@ -70,51 +44,25 @@ def main():
 
     print(f"== ablation-2  B={B} {H}x{W} bf16 ==", flush=True)
 
-    # raw backbone fwd on 2B images (the model's actual call)
-    bb = ResNetFPN(dtype=jnp.bfloat16)
-    img_bank = [jnp.asarray(rng.random((2 * B, H, W, 1), np.float32))
-                for _ in range(4)]
-    bvars = bb.init(key, img_bank[0][:1])
-    bfn = jax.jit(lambda v, x: bb.apply(v, x))
-    bench_fn(lambda x: bfn(bvars, x), [(x,) for x in img_bank],
-             "raw backbone fwd (2B=16 imgs)")
-
-    # raw coarse transformer fwd (8 linear layers, L=4800)
-    tf = LocalFeatureTransformer(256, 8, ("self", "cross") * 4, "linear",
-                                 dtype=jnp.bfloat16)
-    f_bank = [jnp.asarray(rng.random((B, L, 256), np.float32), jnp.bfloat16)
-              for _ in range(4)]
-    tvars = tf.init(key, f_bank[0][:1], f_bank[0][:1])
-    tfn = jax.jit(lambda v, a, b: tf.apply(v, a, b))
-    bench_fn(lambda a, b: tfn(tvars, a, b),
-             [(f_bank[i], f_bank[(i + 1) % 4]) for i in range(4)],
-             "raw coarse transformer fwd (8 layers)")
-
-    # streaming coarse match extraction (one pass)
-    from geoformer_tpu.models.coarse_matching import coarse_match
-
-    cfn = jax.jit(lambda a, b: coarse_match(a, b, 0.2, 0.1, 1024,
-                                            streaming=True))
-    bench_fn(lambda a, b: cfn(a, b),
-             [(f_bank[i].astype(jnp.float32),
-               f_bank[(i + 1) % 4].astype(jnp.float32)) for i in range(4)],
-             "streaming coarse match (1 pass)")
-
-    # full-model config ablations
     configs = {
+        "A_default": base,
         "I_no_coarse_tf": dataclasses.replace(
             base, coarse=CoarseTransformerConfig(layer_names=())),
         "J_match512": dataclasses.replace(
             base, match=MatchConfig(max_matches=512)),
+        "L_coarse4layers": dataclasses.replace(
+            base, coarse=CoarseTransformerConfig(
+                layer_names=("self", "cross") * 2)),
     }
+    meds = {}
     for name, cfg in configs.items():
-        bench_model(GeoFormer(cfg), B, H, W, label=name)
-
-    # batch sweep at the default config (fixed-overhead amortization)
-    for b in (4, 12, 16):
-        med = bench_model(GeoFormer(base), b, H, W,
-                          label=f"K_batch{b}")
-        print(f"  -> {b / (med / 1e3):.1f} pairs/s", flush=True)
+        meds[name] = bench_model(GeoFormer(cfg), B, H, W, label=name)
+    if "A_default" in meds:
+        a = meds["A_default"]
+        for name, m in meds.items():
+            if name != "A_default":
+                print(f"  {name}: delta vs default = {a - m:+.1f} ms",
+                      flush=True)
 
 
 if __name__ == "__main__":

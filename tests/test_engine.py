@@ -411,6 +411,51 @@ def test_pnp_ransac_recovers_pose():
     assert inl[:20].mean() < 0.2
 
 
+def test_pnp_ransac_planar_scene():
+    """Coplanar 3D points (a wall) — the 6-point DLT alone is rank-deficient
+    here; the homography-decomposition branch must recover the pose.
+    Regression for the round-4 localize_protocol failure (all correspondences
+    on the back wall -> 0 inliers, ~170 deg rotation errors)."""
+    from geoformer_tpu.engine.lie import se3_log
+    from geoformer_tpu.engine.pnp import pnp_ransac
+
+    rng = np.random.default_rng(7)
+    K = np.array([[520.0, 0, 320], [0, 520, 240], [0, 0, 1]], np.float32)
+    # ~180 deg roll about the optical axis (quaternion w ~ 0, like a
+    # look_at with up=(0,-1,0)) facing a plane z=8 — the exact failing
+    # configuration
+    xi = np.array([0.03, 0.02, 3.10, 0.3, -0.1, 0.5], np.float32)
+    T_gt = np.array(se3_exp(jnp.asarray(xi)))
+    T_gt[:3, 3] = [0.2, -0.1, 0.4]
+    n, cap = 200, 512
+    pts = np.column_stack([rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+                           np.full(n, 8.0)]).astype(np.float32)
+    pc = pts @ T_gt[:3, :3].T + T_gt[:3, 3]
+    vis = pc[:, 2] > 0.5
+    pts, pc = pts[vis], pc[vis]
+    n = len(pts)
+    uv = (pc / pc[:, 2:]) @ K.T
+    uv = uv[:, :2] + rng.normal(0, 0.5, (n, 2))
+    uv[:n // 5] = rng.uniform(0, 640, (n // 5, 2))     # 20% outliers
+
+    P = np.zeros((cap, 3), np.float32)
+    U = np.zeros((cap, 2), np.float32)
+    V = np.zeros(cap, bool)
+    P[:n], U[:n], V[:n] = pts, uv, True
+
+    out = pnp_ransac(jax.random.key(0), jnp.asarray(P), jnp.asarray(U),
+                     jnp.asarray(K), jnp.asarray(V), thr_px=6.0)
+    assert bool(out["ok"])
+    T = np.asarray(out["T"])
+    dR = T[:3, :3].T @ T_gt[:3, :3]
+    rot_deg = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    c_err = np.linalg.norm(-T[:3, :3].T @ T[:3, 3]
+                           - (-T_gt[:3, :3].T @ T_gt[:3, 3]))
+    assert rot_deg < 1.0, rot_deg
+    assert c_err < 0.15, c_err
+    assert int(out["num_inliers"]) > 0.8 * (n - n // 5)
+
+
 def test_end_to_end_localization():
     """Map building (tracks -> triangulate -> BA) then query localization via
     2D-3D matching + PnP — the native replacement for the COLMAP/hloc
