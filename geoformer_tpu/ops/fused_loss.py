@@ -41,15 +41,17 @@ _NEG_INF = -1e9  # matches ops.matching.dual_softmax's mask fill
 def _prep(feat0: jax.Array, feat1: jax.Array, temperature: float,
           mask0: Optional[jax.Array], mask1: Optional[jax.Array],
           chunk: int):
-    """Normalize features, pad the row axis to a chunk multiple, and build the
-    effective row/col validity vectors (padding rows count as invalid)."""
+    """Pad the row axis to a chunk multiple and build the effective row/col
+    validity vectors (padding rows count as invalid). Features keep their
+    input dtype: the tile matmuls run bf16xbf16->f32 on the MXU when the
+    model is bf16 (4x the f32 contraction rate; the 1/(C*T) scale is applied
+    to the f32 tile, so no bf16 rounding is introduced beyond the features
+    themselves), and stay exactly f32 in f32 mode."""
     b, l, c = feat0.shape
     s = feat1.shape[1]
-    inv = 1.0 / (jnp.sqrt(jnp.asarray(c, jnp.float32)) ** 2 * temperature)
-    # fold 1/(C*T) into f0 once; keep f1 raw so the gathered-dot positive path
-    # and the tile matmuls share the same scaling
-    f0 = feat0.astype(jnp.float32) * inv
-    f1 = feat1.astype(jnp.float32)
+    inv = 1.0 / (float(c) * temperature)
+    f0 = feat0
+    f1 = feat1
 
     row_valid = jnp.ones((b, l), bool) if mask0 is None \
         else mask0.reshape(b, l) > 0
@@ -59,14 +61,14 @@ def _prep(feat0: jax.Array, feat1: jax.Array, temperature: float,
     if pad:
         f0 = jnp.pad(f0, ((0, 0), (0, pad), (0, 0)))
         row_valid = jnp.pad(row_valid, ((0, 0), (0, pad)))
-    return f0, f1, row_valid, col_valid, pad
+    return f0, f1, row_valid, col_valid, pad, inv
 
 
 def _tile(f0c: jax.Array, f1: jax.Array, rv: jax.Array,
-          col_valid: Optional[jax.Array]) -> jax.Array:
-    """One [B, chunk, S] masked similarity tile in f32."""
+          col_valid: Optional[jax.Array], inv: float) -> jax.Array:
+    """One [B, chunk, S] masked similarity tile, accumulated in f32."""
     t = jnp.einsum("blc,bsc->bls", f0c, f1,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32) * inv
     valid = rv[:, :, None]
     if col_valid is not None:
         valid = valid & col_valid[:, None, :]
@@ -91,7 +93,7 @@ def sim_lse(feat0: jax.Array, feat1: jax.Array, temperature: float,
     b, l, _ = feat0.shape
     s = feat1.shape[1]
     chunk = max(1, min(chunk, l))
-    f0, f1, row_valid, col_valid, _ = _prep(
+    f0, f1, row_valid, col_valid, _, inv = _prep(
         feat0, feat1, temperature, mask0, mask1, chunk)
     n = f0.shape[1] // chunk
     f0_ch = f0.reshape(b, n, chunk, -1).transpose(1, 0, 2, 3)
@@ -100,7 +102,7 @@ def sim_lse(feat0: jax.Array, feat1: jax.Array, temperature: float,
     def body(carry, xs):
         m, acc = carry                       # online col-LSE state [B, S]
         f0c, rv = xs
-        t = _tile(f0c, f1, rv, col_valid)
+        t = _tile(f0c, f1, rv, col_valid, inv)
         r_c = jax.nn.logsumexp(t, axis=2)    # [B, chunk]
         m_new = jnp.maximum(m, t.max(axis=1))
         acc = acc * jnp.exp(m - m_new) + jnp.exp(
@@ -169,7 +171,7 @@ def streaming_match_extract(feat0: jax.Array, feat1: jax.Array,
     chunk = max(1, min(chunk, l))
     r, c = sim_lse(feat0, feat1, temperature, mask0, mask1, chunk,
                    axis_name=axis_name)
-    f0, f1, row_valid, col_valid, pad = _prep(
+    f0, f1, row_valid, col_valid, pad, inv = _prep(
         feat0, feat1, temperature, mask0, mask1, chunk)
     n = f0.shape[1] // chunk
     f0_ch = f0.reshape(b, n, chunk, -1).transpose(1, 0, 2, 3)
@@ -181,7 +183,7 @@ def streaming_match_extract(feat0: jax.Array, feat1: jax.Array,
     def body(carry, xs):
         col_m, col_a = carry                     # running col max/arg [B, S]
         f0c, rv, r_c, start = xs
-        t = _tile(f0c, f1, rv, col_valid)        # [B, chunk, S] sim
+        t = _tile(f0c, f1, rv, col_valid, inv)   # [B, chunk, S] sim
         z_row = 2.0 * t - c[:, None, :]
         m = z_row.max(axis=2)
         a = z_row.argmax(axis=2).astype(jnp.int32)
@@ -210,7 +212,8 @@ def streaming_match_extract(feat0: jax.Array, feat1: jax.Array,
     row_best = rb_ch.transpose(1, 0, 2).reshape(b, -1)[:, :l]
     j_ids = a_ch.transpose(1, 0, 2).reshape(b, -1)[:, :l]
 
-    sim00 = jnp.einsum("bc,bc->b", f0[:, 0], f1[:, 0])
+    sim00 = jnp.einsum("bc,bc->b", f0[:, 0], f1[:, 0],
+                       preferred_element_type=jnp.float32) * inv
     if mask0 is not None or mask1 is not None:
         ok00 = row_valid[:, 0]
         if col_valid is not None:
@@ -305,7 +308,7 @@ def streaming_coarse_loss(
         return cfg.pos_weight * pos_loss
 
     # ---- negative term: second streamed pass over tiles --------------------
-    f0, f1, row_valid_p, col_valid_p, _ = _prep(
+    f0, f1, row_valid_p, col_valid_p, _, inv = _prep(
         feat0, feat1, temperature, mask0, mask1, chunk)
     n = f0.shape[1] // chunk
     f0_ch = f0.reshape(b, n, chunk, -1).transpose(1, 0, 2, 3)
@@ -323,7 +326,7 @@ def streaming_coarse_loss(
     def body(acc, xs):
         loss_sum, cnt = acc
         f0c, rv, rc, gj, gv = xs
-        t = _tile(f0c, f1, rv, col_valid_p)                   # [B, chunk, S]
+        t = _tile(f0c, f1, rv, col_valid_p, inv)              # [B, chunk, S]
         p = jnp.clip(jnp.exp(2.0 * t - rc[:, :, None] - c[:, None, :]),
                      1e-6, 1 - 1e-6)
         is_gt = gv[:, :, None] & (gj[:, :, None] == col_ids[None, None, :])

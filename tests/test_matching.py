@@ -134,6 +134,31 @@ def test_streaming_extract_matches_dense():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_streaming_extract_bf16():
+    """bf16 feature path: the tile matmuls run bf16xbf16->f32 on the MXU
+    (ops/fused_loss._prep keeps the input dtype) — extraction indices must
+    match a dense f32 computation over the same bf16-quantized features,
+    and confidences must agree to bf16-accumulation tolerance."""
+    from geoformer_tpu.ops.fused_loss import streaming_match_extract
+    from geoformer_tpu.ops.matching import dual_softmax
+
+    rng = np.random.default_rng(11)
+    b, l0, l1, c = 2, 40, 32, 16
+    f0h = jnp.asarray(rng.normal(size=(b, l0, c)), jnp.bfloat16)
+    f1h = jnp.asarray(rng.normal(size=(b, l1, c)), jnp.bfloat16)
+    conf = np.asarray(dual_softmax(f0h.astype(jnp.float32),
+                                   f1h.astype(jnp.float32), 0.1))
+    row_best, j_ids, col_arg, conf00 = streaming_match_extract(
+        f0h, f1h, 0.1, chunk=16)
+    assert row_best.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(j_ids), conf.argmax(2))
+    np.testing.assert_array_equal(np.asarray(col_arg), conf.argmax(1))
+    np.testing.assert_allclose(np.asarray(row_best), conf.max(2),
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(conf00), conf[:, 0, 0],
+                               rtol=5e-3, atol=1e-5)
+
+
 def test_streaming_extract_chunked():
     """Chunk boundary correctness: l0 not divisible by chunk."""
     from geoformer_tpu.ops.fused_loss import streaming_match_extract
