@@ -28,6 +28,7 @@ def main():
 
     from geoformer_tpu.config import (
         CoarseTransformerConfig,
+        FineTransformerConfig,
         GeoFormerConfig,
         GeoModuleConfig,
         MatchConfig,
@@ -53,6 +54,14 @@ def main():
         "L_coarse4layers": dataclasses.replace(
             base, coarse=CoarseTransformerConfig(
                 layer_names=("self", "cross") * 2)),
+        # backbone + extraction + fine-decode plumbing only: every
+        # transformer stack off. A - M = all attention stages together;
+        # M - tunnel-floor ~= backbone + streamed matching.
+        "M_bb_extract": dataclasses.replace(
+            base,
+            coarse=CoarseTransformerConfig(layer_names=()),
+            geo=dataclasses.replace(base.geo, layer_names=()),
+            fine=FineTransformerConfig(layer_names=())),
     }
     meds = {}
     for name, cfg in configs.items():
