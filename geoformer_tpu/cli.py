@@ -97,6 +97,8 @@ def cmd_train(args):
         image_fraction=args.data_mix,
         log_figures=args.log_figures,
         sensor_aug=args.sensor_aug,
+        bank_size=args.bank_size,
+        bank_refresh=args.bank_refresh,
     )
 
 
@@ -177,6 +179,9 @@ def cmd_eval(args):
                                       imsize=imsize,
                                       ransac_thr=ransac_thr)
     print(json.dumps(out, indent=2, default=float))
+    if getattr(args, "json_out", None):
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, default=float)
 
 
 def cmd_parity(args):
@@ -426,6 +431,11 @@ def main():
     t.add_argument("--warmup", type=int, default=0,
                    help="override warmup in actual steps")
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--bank-size", type=int, default=256,
+                   help="procedural texture bank size")
+    t.add_argument("--bank-refresh", type=int, default=0,
+                   help="regenerate the procedural bank every N steps "
+                        "(0 = fixed bank; >0 makes the corpus unbounded)")
     t.add_argument("--sensor-aug", action="store_true",
                    help="camera-realism augmentation on both views "
                         "(defocus/vignette/shot-read-noise/JPEG; the offline "
@@ -480,6 +490,9 @@ def main():
                    help="RANSAC threshold in resized px "
                         "(default: the benchmark's reference protocol)")
     e.add_argument("--max-seqs", type=int, default=None)
+    e.add_argument("--json-out", default=None,
+                   help="also write the result dict to this file as "
+                        "compact JSON (robust machine parsing)")
     common(e)
     # common() defaults --imsize to 480; eval derives per-benchmark protocol
     # defaults (hpatches/isc 480, FIRE 768) from None instead.

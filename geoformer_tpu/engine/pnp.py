@@ -152,8 +152,11 @@ def pnp_ransac(
 
     T_dlt = _dlt_pose(pts3d, uv_norm, w)
     T_h = _homography_pose(pts3d, uv_norm, w)
-    cands = jnp.stack([T, T_dlt, T_h])
-    scores = jnp.stack([inliers.sum(), _score(T_dlt), _score(T_h)])
+    # Refits first: argmax keeps the FIRST max on ties, so an all-inlier
+    # refit that matches the minimal-sample pose's count is preferred over
+    # the unrefit 6-point pose.
+    cands = jnp.stack([T_dlt, T_h, T])
+    scores = jnp.stack([_score(T_dlt), _score(T_h), inliers.sum()])
     T = cands[jnp.argmax(scores)]
     T = jnp.where(jnp.isfinite(T).all(), T, jnp.eye(4))
 

@@ -84,10 +84,11 @@ def linear_attention_flat(
     70.6 vs 58.4; fine bf16 74.9 vs 59.8) — XLA handles the head-split
     layouts better than the hypothesis assumed. Re-run 2026-08-19:
     coarse negative again at both dtypes (66.4 vs 64.5 bf16, 110.7 vs
-    104.9 f32) but fine bf16 FLIPPED (flat 86.2 vs per-head 92.4) —
-    the fine-shape ordering is not stable across tunnel sessions, so it
-    cannot justify a default change. Kept as a documented alternative;
-    EncoderLayer stays on linear_attention.
+    104.9 f32) but fine bf16 FLIPPED (flat 86.2 vs per-head 92.4). A
+    round-4 full-model A/B confirmed the fine-shape win end-to-end
+    (+6.7% bench throughput, RESULTS.md), so FineTransformerConfig now
+    DEFAULTS to the flat variant (config.py); the coarse transformer
+    stays on per-head linear_attention where flat remains negative.
 
     Args:
         q: [B, L, C]; k, v: [B, S, C] (pre-head-split projections).

@@ -189,8 +189,11 @@ def build_isc(out_dir: str, seed: int = 0, n_pairs: int = 40) -> int:
 
 # --------------------------------------------------------------------- runner
 def _run_eval(benchmark, corpus, args):
+    # Results come back through --json-out (a file), NOT by scraping stdout:
+    # `cli eval` pretty-prints nested JSON, which defeats rindex('{') parsing.
+    json_out = os.path.join("/tmp", f"eval_{benchmark}_{os.getpid()}.json")
     cmd = [sys.executable, "-m", "geoformer_tpu.cli", "eval", benchmark,
-           "--data", corpus, "--ckpt", args.ckpt]
+           "--data", corpus, "--ckpt", args.ckpt, "--json-out", json_out]
     for flag in ("bf16", "pallas"):
         if getattr(args, flag):
             cmd.append("--" + flag)
@@ -201,8 +204,9 @@ def _run_eval(benchmark, corpus, args):
     print(r.stdout[-2000:], flush=True)
     if r.returncode:
         sys.exit(r.returncode)
-    out = json.loads(r.stdout[r.stdout.rindex("{"):]) \
-        if "{" in r.stdout else {}
+    with open(json_out) as f:
+        out = json.load(f)
+    os.remove(json_out)
     out["wall_clock_s"] = round(time.time() - t0, 1)
     return out
 

@@ -38,7 +38,7 @@ run bench_int8full 2400 python bench.py --int8-full
 run selfcheck_int8full 2400 python scripts/selfcheck_eval.py --int8-full --pallas
 run ate_protocol   2400 python scripts/ate_protocol.py
 run localize_protocol 2400 python scripts/localize_protocol.py
-run bench_fineflat 2400 python bench.py --fine-flat
+run bench_fineflat 2400 python bench.py --no-fine-flat  # A/B vs the (now-default) flat fine stack
 run bench_b16      2400 python bench.py --batch 16
 run ablation2      3600 python scripts/profile_ablation2.py
 
