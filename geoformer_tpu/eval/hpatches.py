@@ -190,7 +190,11 @@ def eval_hpatches(
         out["auc_i"] = cal_error_auc(dists_i, thresholds).tolist()
         out["auc_v"] = cal_error_auc(dists_v, thresholds).tolist()
     if any(len(v) for v in mma.values()):
+        # per-split matching accuracy, as the reference reports
+        # (hpatches_helper.py:299-317)
         out["mma_a"] = {t: float(np.mean(v)) for t, v in mma.items() if v}
+        out["mma_i"] = {t: float(np.mean(v)) for t, v in mma_i.items() if v}
+        out["mma_v"] = {t: float(np.mean(v)) for t, v in mma_v.items() if v}
 
     log(f">>HPatches: pairs={out['n_pairs']} est_failed={h_failed} "
         f"matches={out['mean_matches']:.1f} time={out['match_time']:.3f}s")

@@ -59,6 +59,8 @@ def run_training(
     image_fraction: float = 1.0,
     log_figures: bool = False,
     sensor_aug: bool = False,
+    bank_size: int = 256,
+    bank_refresh: int = 0,
 ):
     devices = np.array(jax.devices())
     mesh = Mesh(devices, ("data",))
@@ -103,7 +105,9 @@ def run_training(
     data_seed = seed + 1_000_003 * int(state.step)
     stream = base_image_stream(image_hw, batch_size, data_seed, image_dir,
                                texture_style=texture_style,
-                               image_fraction=image_fraction)
+                               image_fraction=image_fraction,
+                               bank_size=bank_size,
+                               bank_refresh=bank_refresh)
     pair_key = jax.random.key(data_seed + 1)
     ransac_key = jax.random.key(data_seed + 2)
     # held-out validation batch from a disjoint seed

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--int8-full", action="store_true")
+    ap.add_argument("--max-matches", type=int, default=None,
+                    help="capacity A/B (VERDICT r4 next #3); default 1024")
     args = ap.parse_args()
 
     if not os.path.isdir(args.corpus):
@@ -38,10 +40,14 @@ def main():
         subprocess.run([sys.executable, "scripts/hpatches_synth.py",
                         "--out", args.corpus], check=True)
 
+    json_out = f"/tmp/hp540_{os.getpid()}.json"
     cmd = [sys.executable, "-m", "geoformer_tpu.cli", "eval", "hpatches",
-           "--data", args.corpus, "--ckpt", args.ckpt]
+           "--data", args.corpus, "--ckpt", args.ckpt,
+           "--json-out", json_out]
     if args.max_seqs:
         cmd += ["--max-seqs", str(args.max_seqs)]
+    if args.max_matches:
+        cmd += ["--max-matches", str(args.max_matches)]
     for flag in ("bf16", "pallas", "int8", "int8_full"):
         if getattr(args, flag):
             cmd.append("--" + flag.replace("_", "-"))
@@ -53,17 +59,22 @@ def main():
     print(r.stdout[-2500:], flush=True)
     if r.returncode:
         sys.exit(r.returncode)
-    out = json.loads(r.stdout[r.stdout.index("{"):])
+    with open(json_out) as f:
+        out = json.load(f)
+    os.remove(json_out)
     rec = {
         "protocol": "hpatches_synth_540",
         "config": {"bf16": args.bf16, "pallas": args.pallas,
-                   "int8": args.int8, "int8_full": args.int8_full},
+                   "int8": args.int8, "int8_full": args.int8_full,
+                   "max_matches": args.max_matches or 1024},
         "n_pairs": out.get("n_pairs"),
         "est_failed": out.get("est_failed"),
         "mean_matches": out.get("mean_matches"),
         "auc_a": out.get("auc_a"),
         "auc_i": out.get("auc_i"),
         "auc_v": out.get("auc_v"),
+        "mma_i@3": (out.get("mma_i") or {}).get("3"),
+        "mma_v@3": (out.get("mma_v") or {}).get("3"),
         "match_time_s": out.get("match_time"),
         "wall_clock_s": round(wall, 1),
     }

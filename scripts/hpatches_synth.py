@@ -113,8 +113,16 @@ def build(out_dir: str, n_i: int = 52, n_v: int = 56, seed: int = 0,
                     _ppm8(base))
         for idx in range(2, 7):
             if name.startswith("i_"):
-                hwk, H = hw0, np.eye(3)
-                im = _photometric(rng, base)
+                # Small non-identity warp (~1.5% corner jitter): the real
+                # i-split is fixed-camera, but exact-identity GT saturates
+                # AUC@1px by construction (round-4 gate: i-split 0.9988 —
+                # estimator noise, no signal). A slight warp keeps the
+                # split illumination-DOMINATED while making its corner
+                # error measure estimation (VERDICT r4 weak #2 / next #7).
+                hwk = hw0
+                H = _corner_h(rng, hw0, hwk, mag=0.015)
+                im = cv2.warpPerspective(base, H, (hwk[1], hwk[0]))
+                im = _photometric(rng, im)
             else:
                 # some v_ sequences change size between images, like the
                 # real corpus — stresses the per-sequence max-bucket census

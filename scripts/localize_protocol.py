@@ -27,63 +27,14 @@ import json
 import numpy as np
 
 
-def _plane_homography(K, T, origin, e1, e2, tex_hw):
-    """Image-from-texture homography for the quad {origin + s*e1 + t*e2},
-    texture pixel (u, v) = (s * (W-1), t * (H-1))."""
-    R, t = T[:3, :3], T[:3, 3]
-    th, tw = tex_hw
-    # world point = [e1 e2 origin] @ [s, t, 1]^T
-    M = np.stack([e1, e2, origin], axis=1)
-    H_img_from_st = K @ (R @ M + t[:, None] @ np.array([[0.0, 0.0, 1.0]]))
-    S = np.diag([1.0 / (tw - 1), 1.0 / (th - 1), 1.0])  # texture px -> (s,t)
-    return H_img_from_st @ S
+from geoformer_tpu.data.planes import (  # noqa: E402
+    look_at as _look_at,
+    render_planes,
+)
 
 
 def _render(K, T, planes, hw):
-    """Composite plane textures far-to-near with proper per-pixel depth."""
-    import cv2
-
-    h, w = hw
-    img = np.zeros((h, w), np.float32)
-    depth = np.full((h, w), np.inf, np.float32)
-    for origin, e1, e2, tex in planes:
-        Hm = _plane_homography(K, T, origin, e1, e2, tex.shape)
-        warped = cv2.warpPerspective(tex, Hm, (w, h),
-                                     flags=cv2.INTER_LINEAR,
-                                     borderValue=-1.0)
-        mask = cv2.warpPerspective(np.ones_like(tex), Hm, (w, h),
-                                   flags=cv2.INTER_NEAREST,
-                                   borderValue=0.0) > 0.5
-        # per-pixel depth of the plane: z of the world point seen at (x, y)
-        Hinv = np.linalg.inv(Hm)
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-        st = np.stack([xx, yy, np.ones_like(xx)], 0).reshape(3, -1)
-        uv = Hinv @ st
-        with np.errstate(divide="ignore", invalid="ignore"):
-            # off-quad pixels divide by ~0; they are dropped by `mask` below
-            s = uv[0] / uv[2]
-            tt = uv[1] / uv[2]
-            th, tw = tex.shape
-            Xw = (origin[:, None] + e1[:, None] * (s / (tw - 1))
-                  + e2[:, None] * (tt / (th - 1)))
-        z = (T[:3, :3] @ Xw + T[:3, 3:4])[2].reshape(h, w)
-        vis = mask & (z > 0.1) & (z < depth)
-        img[vis] = warped[vis]
-        depth[vis] = z[vis]
-    return np.clip(img, 0.0, 1.0)
-
-
-def _look_at(center, target, up=(0, -1, 0)):
-    z = np.asarray(target, float) - np.asarray(center, float)
-    z /= np.linalg.norm(z)
-    x = np.cross(np.asarray(up, float), z)
-    x /= np.linalg.norm(x)
-    y = np.cross(z, x)
-    R = np.stack([x, y, z], 0)  # world->cam rows
-    T = np.eye(4)
-    T[:3, :3] = R
-    T[:3, 3] = -R @ np.asarray(center, float)
-    return T
+    return render_planes(K, T, planes, hw)
 
 
 def _rotmat2qvec(R):

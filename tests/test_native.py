@@ -112,3 +112,27 @@ def test_base_image_stream_image_mix(tmp_path):
                                 image_dir=str(tmp_path), image_fraction=0.0))
     b1 = next(base_image_stream((48, 64), 4, seed=7))
     np.testing.assert_allclose(b0, b1)
+
+
+def test_base_image_stream_bank_refresh():
+    """bank_refresh regenerates the procedural bank on schedule; bank_size
+    is respected (corpus-scale levers, VERDICT r4 next #6)."""
+    from geoformer_tpu.data.synthetic import base_image_stream
+
+    # Deterministic: same seed + params -> identical stream.
+    a = base_image_stream((48, 64), 4, seed=3, bank_size=8, bank_refresh=2)
+    b = base_image_stream((48, 64), 4, seed=3, bank_size=8, bank_refresh=2)
+    batches_a = [next(a) for _ in range(5)]
+    batches_b = [next(b) for _ in range(5)]
+    for x, y in zip(batches_a, batches_b):
+        np.testing.assert_allclose(x, y)
+
+    # A refreshing stream diverges from the fixed-bank stream after the
+    # refresh point (same seed, so the first batches draw the same bank).
+    fixed = base_image_stream((48, 64), 4, seed=3, bank_size=8)
+    fixed_batches = [next(fixed) for _ in range(5)]
+    np.testing.assert_allclose(batches_a[0], fixed_batches[0])
+    assert any(
+        not np.allclose(x, y)
+        for x, y in zip(batches_a[2:], fixed_batches[2:])
+    )
