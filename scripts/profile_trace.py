@@ -60,22 +60,61 @@ def build_fwd(args):
 
 
 def parse_xplane(logdir):
-    """Aggregate device-op self-times from the trace's xplane file."""
+    """Aggregate device-op self-times from the trace's xplane file.
+
+    Uses the installed `xprof` converters (the tensorboard-plugin-profile
+    2.13 protos are incompatible with this protobuf runtime)."""
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
     if not paths:
         return None, "no xplane.pb produced"
     path = max(paths, key=os.path.getmtime)
     try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
+        from xprof.convert import raw_to_tool_data
     except ImportError as e:
-        return None, f"plugin-profile unavailable: {e}"
+        return None, f"xprof unavailable: {e}"
     try:
         data, _ = raw_to_tool_data.xspace_to_tool_data(
             [path], "framework_op_stats^", {})
     except Exception as e:
         return None, f"op_stats conversion failed: {e}"
     return data, path
+
+
+def digest(data, iters):
+    """Summarize the gviz framework_op_stats table: totals and top ops."""
+    tables = json.loads(data if isinstance(data, str) else data.decode())
+    if not tables:
+        return None
+    cols = [c["id"] for c in tables[0]["cols"]]
+    rows = [dict(zip(cols, [c["v"] if isinstance(c, dict) else c
+                            for c in r["c"]]))
+            for r in tables[0]["rows"]]
+    dev = [r for r in rows if str(r.get("host_or_device", "")).lower()
+           not in ("host",)]
+    idle_us = sum(float(r.get("total_self_time", 0) or 0) for r in dev
+                  if r.get("type") == "IDLE")
+    dev = [r for r in dev if r.get("type") != "IDLE"]
+    total_us = sum(float(r.get("total_self_time", 0) or 0) for r in dev)
+    by_cat = {}
+    for r in dev:
+        c = r.get("type", "?")
+        by_cat[c] = by_cat.get(c, 0.0) + float(
+            r.get("total_self_time", 0) or 0)
+    top = sorted(dev, key=lambda r: -float(r.get("total_self_time", 0) or 0))
+    return {
+        "device_busy_ms_per_iter": round(total_us / 1e3 / iters, 2),
+        "device_idle_ms_per_iter": round(idle_us / 1e3 / iters, 2),
+        "by_category_ms_per_iter": {
+            k: round(v / 1e3 / iters, 2)
+            for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])},
+        "top_ops": [
+            {"op": r.get("operation"), "type": r.get("type"),
+             "ms_per_iter": round(
+                 float(r.get("total_self_time", 0) or 0) / 1e3 / iters, 3),
+             "occurrences": r.get("occurrences")}
+            for r in top[:25]],
+    }
 
 
 def main():
@@ -125,9 +164,16 @@ def main():
     if isinstance(data, (bytes, str)):
         with open(out_path, "w") as f:
             f.write(data if isinstance(data, str) else data.decode())
-    print(json.dumps({"logdir": args.logdir, "wall_ms_per_iter":
-                      round(wall * 1e3, 1),
-                      "warm_ms": round(per_call * 1e3, 1)}))
+    rec = {"logdir": args.logdir,
+           "wall_ms_per_iter": round(wall * 1e3, 1),
+           "warm_ms": round(per_call * 1e3, 1)}
+    try:
+        d = digest(data, args.iters)
+        if d:
+            rec.update(d)
+    except Exception as e:
+        rec["digest_error"] = repr(e)[:200]
+    print(json.dumps(rec, indent=1))
 
 
 if __name__ == "__main__":
