@@ -99,42 +99,53 @@ def main():
     # experimental PJRT plugin has been observed both to return early from
     # block_until_ready and to short-cut repeated identical executions, so
     # only fully-synchronized fresh-input timing is trustworthy here.
+    # Round-5 device trace finding: the compiled forward runs GAP-FREE on
+    # the device (115.5 ms module, zero internal idle) — the rest of the
+    # per-call wall was tunnel round trips for per-iteration bank[i]
+    # dynamic-slice modules, a separate reduce_sum dispatch, and the scalar
+    # fetch. So: pre-split the input bank at setup (no per-iter device
+    # slicing), fold the checksum into the jitted forward (one dispatch,
+    # one scalar fetch per iteration), and pipeline at depth 3.
     iters = 12
-    bank = jnp.asarray(rng.random((iters + 1, B, H, W, 1), np.float32))
+    bank = [jnp.asarray(rng.random((B, H, W, 1), np.float32))
+            for _ in range(iters + 1)]
     params = model.init({"params": key, "ransac": key},
                         bank[0][:1], bank[0][:1])
 
     @jax.jit
     def fwd(params, i0, i1):
-        return model.apply(params, i0, i1, rngs={"ransac": jax.random.key(0)})
+        out = model.apply(params, i0, i1, rngs={"ransac": jax.random.key(0)})
+        return out, out.fine.mconf.sum()
 
     t0 = time.perf_counter()
-    out = fwd(params, bank[0], bank[1])
-    float(out.fine.mconf.sum())
+    out, chk = fwd(params, bank[0], bank[1])
+    float(chk)
     compile_s = time.perf_counter() - t0
 
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        out = fwd(params, bank[i], bank[i + 1])
-        float(out.fine.mconf.sum())
+        out, chk = fwd(params, bank[i], bank[i + 1])
+        float(chk)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
-    # Pipelined (serving-style) throughput: dispatch iteration i+1 before
-    # fetching iteration i's result, so the ~25 ms tunnel round trip and
+    # Pipelined (serving-style) throughput: keep up to `depth` forwards in
+    # flight before fetching the oldest result, so tunnel round trips and
     # host work overlap device compute. Inputs stay distinct and EVERY
-    # output scalar is still fetched, so the experimental plugin cannot
+    # checksum is still fetched, so the experimental plugin cannot
     # short-cut executions; the wall-clock over all iterations is an honest
     # end-to-end throughput bound.
-    prev = None
+    depth = 3
+    inflight = []
     t0 = time.perf_counter()
     for i in range(iters):
-        cur = fwd(params, bank[i], bank[i + 1])
-        if prev is not None:
-            float(prev.fine.mconf.sum())
-        prev = cur
-    float(prev.fine.mconf.sum())
+        _, chk = fwd(params, bank[i], bank[i + 1])
+        inflight.append(chk)
+        if len(inflight) >= depth:
+            float(inflight.pop(0))
+    for chk in inflight:
+        float(chk)
     pipe_dt = (time.perf_counter() - t0) / iters
 
     pairs_per_s = B / min(dt, pipe_dt)
