@@ -58,18 +58,17 @@ def gather_windows(feat_f: jax.Array, ids: jax.Array, grid_w_c: int,
     b, hf, wf, c = feat_f.shape
     r = window // 2
     padded = jnp.pad(feat_f, ((0, 0), (r, r), (r, r), (0, 0)))
-    pw = wf + 2 * r
     rows = (ids // grid_w_c) * stride                      # top-left in padded
     cols = (ids % grid_w_c) * stride
-    dy, dx = jnp.meshgrid(jnp.arange(window), jnp.arange(window),
-                          indexing="ij")
-    off = (dy * pw + dx).reshape(-1)                       # [W*W]
-    base = rows * pw + cols                                # [B, M]
-    lin = base[..., None] + off[None, None, :]             # [B, M, W*W]
-    flat = padded.reshape(b, -1, c)
-    take = jax.vmap(lambda f, i: jnp.take(f, i.reshape(-1), axis=0))
-    out = take(flat, lin)
-    return out.reshape(b, ids.shape[1], window * window, c)
+    # vmapped dynamic_slice -> one gather with slice_sizes (W, W, C):
+    # each slice moves W contiguous W*C-byte rows instead of W*W separate
+    # C-rows (the element-indexed form cost 4.8 ms/fwd in the round-5
+    # device trace; contiguous slices are the TPU-friendly access).
+    win = jax.vmap(jax.vmap(
+        lambda f, y, x: jax.lax.dynamic_slice(f, (y, x, 0),
+                                              (window, window, c)),
+        in_axes=(None, 0, 0)), in_axes=(0, 0, 0))(padded, rows, cols)
+    return win.reshape(b, ids.shape[1], window * window, c)
 
 
 class FinePreprocess(nn.Module):
