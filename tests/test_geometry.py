@@ -149,3 +149,68 @@ def test_scale_homography_frame_change():
     a = warp_points(pts, H) * jnp.array([0.5, 0.25])
     b = warp_points(pts * jnp.array([0.5, 0.25]), Hs)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3)
+
+
+def test_ransac_exact_minimal_set():
+    """Exactly 4 valid correspondences, noise-free: the solver must return
+    the exact homography (annealed polish must not wander)."""
+    import cv2
+
+    rng = np.random.default_rng(11)
+    src = np.array([[10, 10], [600, 20], [620, 460], [15, 440]], np.float32)
+    dst = (src + rng.uniform(-40, 40, (4, 2))).astype(np.float32)
+    H_gt = cv2.getPerspectiveTransform(src, dst)
+    cap = 64
+    p0 = np.zeros((cap, 2), np.float32)
+    p1 = np.zeros((cap, 2), np.float32)
+    v = np.zeros(cap, bool)
+    p0[:4], p1[:4], v[:4] = src, dst, True
+    out = ransac_homography(jax.random.key(0), jnp.asarray(p0),
+                            jnp.asarray(p1), jnp.asarray(v), thr=3.0,
+                            iters=64, refine_iters=2)
+    assert bool(out["ok"])
+    H = np.asarray(out["H"])
+    np.testing.assert_allclose(H / H[2, 2], H_gt / H_gt[2, 2],
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_ransac_huge_threshold_still_discriminates():
+    """MSAC scoring: with thr far above the noise scale, the fit must stay
+    tight (count-based scoring regressed to ~4 px here; see RESULTS.md
+    round 5)."""
+    import cv2
+
+    rng = np.random.default_rng(5)
+    src = rng.uniform(0, 640, (256, 2)).astype(np.float32)
+    jit = rng.uniform(-80, 80, (4, 2)).astype(np.float32)
+    corners = np.array([[0, 0], [640, 0], [640, 480], [0, 480]], np.float32)
+    H_gt = cv2.getPerspectiveTransform(corners, corners + jit)
+    ph = np.concatenate([src, np.ones((256, 1), np.float32)], 1) @ H_gt.T
+    dst = (ph[:, :2] / ph[:, 2:]).astype(np.float32)
+    dst += rng.normal(0, 1.0, dst.shape).astype(np.float32)
+    dst[:64] = rng.uniform(0, 640, (64, 2)).astype(np.float32)  # outliers
+    out = ransac_homography(jax.random.key(1), jnp.asarray(src),
+                            jnp.asarray(dst), jnp.ones(256, bool), thr=15.0,
+                            iters=512, refine_iters=3)
+    assert bool(out["ok"])
+    H = np.asarray(out["H"])
+    ch = np.concatenate([corners, np.ones((4, 1), np.float32)], 1)
+    wr = ch @ H_gt.T
+    wr = wr[:, :2] / wr[:, 2:]
+    wp = ch @ H.T
+    wp = wp[:, :2] / wp[:, 2:]
+    assert np.linalg.norm(wr - wp, axis=1).mean() < 1.5
+
+
+def test_four_point_degenerate_collinear_is_nonfinite():
+    """Three collinear source points make the 8x8 system singular; the
+    Gauss-Jordan solve must surface inf/nan (RANSAC guards on isfinite),
+    not a bogus finite H."""
+    src = jnp.asarray(np.array([[0, 0], [10, 10], [20, 20], [5, 90]],
+                               np.float32))
+    dst = jnp.asarray(np.array([[0, 0], [10, 12], [22, 20], [5, 80]],
+                               np.float32))
+    H = np.asarray(four_point_homography(
+        jnp.concatenate([src[:3], src[2:3]]),
+        jnp.concatenate([dst[:3], dst[2:3]])))
+    assert not np.isfinite(H).all()
