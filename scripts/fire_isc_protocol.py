@@ -239,7 +239,18 @@ def main():
         rec["fire"] = _run_eval("fire", args.fire_dir, args)
     if not args.skip_isc:
         rec["isc"] = _run_eval("isc", args.isc_dir, args)
+    # Standing-gate thresholds (first run 2026-08-20: FIRE mAUC 0.9995,
+    # ISC AUC@3 0.983 — RESULTS.md round 5). Exit nonzero on regression.
+    ok = True
+    if "fire" in rec:
+        ok &= rec["fire"].get("mAUC", 0.0) >= 0.99
+        ok &= rec["fire"].get("failed", 1) == 0
+    if "isc" in rec:
+        ok &= (rec["isc"].get("auc") or [0])[0] >= 0.97
+    rec["gate_pass"] = bool(ok)
     print(json.dumps(rec))
+    if not ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
