@@ -1,20 +1,27 @@
-"""Bilinear align-corners resize as two static-index 2-tap lerps.
+"""Bilinear align-corners resize as two MXU-shaped interpolation matmuls.
 
 The reference FPN uses F.interpolate(..., mode='bilinear', align_corners=True)
 (reference: model/loftr_src/loftr/backbone/resnet_fpn.py:110-115).
-jax.image.resize has no align_corners mode. The original implementation
-built dense [out, in] interpolation matrices and applied them as matmuls —
-but each row of that matrix has at most TWO nonzeros, so the matmul burns
-~in_size/2 x the necessary FLOPs; a round-5 device trace booked the FPN's
-width pass as the single most expensive op in the forward (8.0 ms of a
-143 ms call). The 2-tap form (static gather + lerp per axis) is
-bandwidth-bound instead and XLA fuses it with the surrounding convs.
+jax.image.resize has no align_corners mode, so the (static) 1-D
+interpolation matrices are applied per axis. HOW they are applied is the
+whole game on TPU — round-5 device traces measured three layouts:
+
+  1. einsum "pw,bowc->bopc" for the width pass: the contraction sits in a
+     middle axis, XLA picks a degenerate tiling — 8.0 ms (the most
+     expensive op in the forward).
+  2. static 2-tap gather+lerp per axis: jnp.take on non-minor axes is
+     gather-lowered and even slower — 10.2 ms.
+  3. this version: the height pass contracts the SECOND-major axis of
+     [B, h, (w*c)] (a clean [o,h] @ [h, w*c] matmul), and the width pass
+     transposes c before w so it is again second-major — two cheap
+     HBM-bandwidth transposes around a clean matmul. The 2-nonzeros-per-
+     row FLOP overhead is irrelevant next to layout: these shapes run at
+     MXU rates.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,31 +29,31 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=64)
-def _taps(in_size: int, out_size: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(lo indices [out], frac weights [out]) for align-corners lerp."""
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out_size, in_size] align-corners linear interpolation matrix."""
+    A = np.zeros((out_size, in_size), np.float32)
     if out_size == 1 or in_size == 1:
-        return (np.zeros(out_size, np.int32), np.zeros(out_size, np.float32))
+        A[:, 0] = 1.0
+        return A
     scale = (in_size - 1) / (out_size - 1)
     pos = np.arange(out_size) * scale
-    lo = np.clip(np.floor(pos).astype(np.int32), 0, in_size - 2)
+    lo = np.floor(pos).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
     frac = (pos - lo).astype(np.float32)
-    return lo, frac
-
-
-def _lerp_axis(x: jax.Array, out_size: int, axis: int) -> jax.Array:
-    in_size = x.shape[axis]
-    lo, frac = _taps(in_size, out_size)
-    a = jnp.take(x, jnp.asarray(lo), axis=axis)
-    b = jnp.take(x, jnp.asarray(lo + 1), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    f = jnp.asarray(frac).reshape(shape).astype(x.dtype)
-    return a + (b - a) * f
+    A[np.arange(out_size), lo] = 1.0 - frac
+    A[np.arange(out_size), lo + 1] = frac
+    return A
 
 
 def resize_bilinear_align_corners(x: jax.Array, out_hw) -> jax.Array:
     """Resize NHWC tensor spatially with align_corners=True bilinear."""
+    b, h, w, c = x.shape
     oh, ow = out_hw
-    x = _lerp_axis(x, oh, 1)
-    x = _lerp_axis(x, ow, 2)
-    return x
+    Ah = jnp.asarray(_interp_matrix(h, oh)).astype(x.dtype)
+    Aw = jnp.asarray(_interp_matrix(w, ow)).astype(x.dtype)
+    # height: contract h as the second-major axis of [B, h, w*c]
+    x = jnp.matmul(Ah, x.reshape(b, h, w * c)).reshape(b, oh, w, c)
+    # width: move c before w so w is second-major, matmul, move back
+    x = x.transpose(0, 1, 3, 2)                      # [B, oh, c, w]
+    x = jnp.matmul(x, Aw.T)                          # [B, oh, c, ow]
+    return x.transpose(0, 1, 3, 2)                   # [B, oh, ow, c]
