@@ -187,6 +187,26 @@ def build_isc(out_dir: str, seed: int = 0, n_pairs: int = 40) -> int:
     return n
 
 
+def build_isc_cls(isc_dir: str, out_txt: str, seed: int = 0) -> int:
+    """Same-scene classification list from the ISC corpus: each (query,
+    refer) pair is a positive; negatives pair query k with refer of a
+    DIFFERENT scene (reference my_helper.py:225-324 eval_cls_my consumes
+    `query refer label` lines)."""
+    rng = np.random.default_rng(seed)
+    qs = sorted(os.listdir(os.path.join(isc_dir, "query")))
+    names = [q[:-len("_2.jpg")] for q in qs]
+    lines = []
+    for i, n in enumerate(names):
+        q = os.path.join(isc_dir, "query", f"{n}_2.jpg")
+        lines.append(f"{q} {os.path.join(isc_dir, 'refer', n + '_1.jpg')} 1")
+        j = (i + int(rng.integers(1, len(names)))) % len(names)
+        lines.append(
+            f"{q} {os.path.join(isc_dir, 'refer', names[j] + '_1.jpg')} 0")
+    with open(out_txt, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return len(lines)
+
+
 # --------------------------------------------------------------------- runner
 def _run_eval(benchmark, corpus, args):
     # Results come back through --json-out (a file), NOT by scraping stdout:
@@ -239,6 +259,10 @@ def main():
         rec["fire"] = _run_eval("fire", args.fire_dir, args)
     if not args.skip_isc:
         rec["isc"] = _run_eval("isc", args.isc_dir, args)
+        cls_txt = os.path.join(args.isc_dir, "cls_pairs.txt")
+        if not os.path.exists(cls_txt):
+            build_isc_cls(args.isc_dir, cls_txt, seed=args.seed + 2)
+        rec["isc_cls"] = _run_eval("isc-cls", cls_txt, args)
     # Standing-gate thresholds (first run 2026-08-20: FIRE mAUC 0.9995,
     # ISC AUC@3 0.983 — RESULTS.md round 5). Exit nonzero on regression.
     ok = True
@@ -247,6 +271,8 @@ def main():
         ok &= rec["fire"].get("failed", 1) == 0
     if "isc" in rec:
         ok &= (rec["isc"].get("auc") or [0])[0] >= 0.97
+    if "isc_cls" in rec:
+        ok &= rec["isc_cls"].get("eer", 1.0) <= 0.05
     rec["gate_pass"] = bool(ok)
     print(json.dumps(rec))
     if not ok:
