@@ -95,9 +95,18 @@ def look_at(center, target, up=(0, -1, 0)) -> np.ndarray:
 
 
 def room_scene(rng: np.random.Generator, textures: np.ndarray,
-               depth_z: float = 8.0) -> List[Plane]:
+               depth_z: float = 8.0, cluttered: bool = False) -> List[Plane]:
     """Random 3-5-plane 'room': back wall + floor + side wall, optionally a
-    ceiling strip and a free-standing slab, with jittered extents."""
+    ceiling strip and a free-standing slab, with jittered extents.
+
+    cluttered=True guarantees ceiling + (textures-permitting) multiple
+    mid-scene slabs at staggered depths. Rationale (round-5 measured): the
+    depth trainer's pose-AUC validation recovers relative pose via the
+    essential matrix, which is DEGENERATE when the matched set lies on one
+    plane — on plain rooms the capacity-ranked matches collapse onto the
+    texture-rich back wall (per-match depth p10-p90 ~0.2 m) and pose
+    errors flip by tens of degrees. Cluttered scenes keep depth diversity
+    inside the top-k match set."""
     zb = depth_z * rng.uniform(0.85, 1.15)
     planes: List[Plane] = [
         # back wall
@@ -111,17 +120,24 @@ def room_scene(rng: np.random.Generator, textures: np.ndarray,
         (np.array([rng.choice([-4.5, 4.5]), -3.0, 2.0]),
          np.array([0, 0, zb - 2.0]), np.array([0, 6.0, 0]), textures[2]),
     ]
-    if len(textures) > 3 and rng.random() < 0.6:
+    if len(textures) > 3 and (cluttered or rng.random() < 0.6):
         # ceiling strip
         planes.append(
             (np.array([-5.0, rng.uniform(-3.0, -2.2), 2.5]),
              np.array([10.0, 0, 0]),
              np.array([0, rng.uniform(-0.8, -0.2), zb - 2.5]), textures[3]))
-    if len(textures) > 4 and rng.random() < 0.5:
-        # free-standing tilted slab mid-scene
-        cx = rng.uniform(-2.0, 2.0)
+    n_slabs = 0
+    if len(textures) > 4:
+        n_slabs = (1 + int(rng.random() < 0.7) if cluttered
+                   else int(rng.random() < 0.5))
+    for k in range(n_slabs):
+        # free-standing tilted slabs at staggered depths
+        cx = rng.uniform(-2.5, 2.5)
+        zc = zb * rng.uniform(0.42, 0.75)
+        tex = textures[4 + (k % max(1, len(textures) - 4))]
         planes.append(
-            (np.array([cx - 1.2, rng.uniform(-1.0, 0.5), zb * 0.6]),
-             np.array([2.4, 0, rng.uniform(-0.8, 0.8)]),
-             np.array([rng.uniform(-0.4, 0.4), 2.2, 0]), textures[4]))
+            (np.array([cx - 1.2, rng.uniform(-1.2, 0.6), zc]),
+             np.array([rng.uniform(2.0, 3.0), 0, rng.uniform(-0.8, 0.8)]),
+             np.array([rng.uniform(-0.4, 0.4), rng.uniform(1.8, 2.6), 0]),
+             tex))
     return planes

@@ -26,7 +26,8 @@ import numpy as np
 
 
 def build_scene(root: str, index_dir: str, name: str, seed: int,
-                n_cams: int = 8, hw=(480, 640)) -> int:
+                n_cams: int = 8, hw=(480, 640),
+                cluttered: bool = False) -> int:
     import cv2
     import h5py
 
@@ -35,10 +36,10 @@ def build_scene(root: str, index_dir: str, name: str, seed: int,
     from geoformer_tpu.data.synthetic import mixed_texture_bank
 
     rng = np.random.default_rng(seed)
-    tex = native_textures_mixed(5, 512, 768, seed)
+    tex = native_textures_mixed(6, 512, 768, seed)
     if tex is None:
-        tex = mixed_texture_bank(rng, (512, 768), 5)
-    planes = room_scene(rng, np.asarray(tex))
+        tex = mixed_texture_bank(rng, (512, 768), 6)
+    planes = room_scene(rng, np.asarray(tex), cluttered=cluttered)
 
     H, W = hw
     f = rng.uniform(480.0, 560.0)
@@ -97,20 +98,23 @@ def main():
     ap.add_argument("--n-val-scenes", type=int, default=6)
     ap.add_argument("--n-cams", type=int, default=8)
     ap.add_argument("--seed", type=int, default=20260820)
+    ap.add_argument("--cluttered", action="store_true",
+                    help="guaranteed multi-depth clutter (essential-pose "
+                         "validation needs non-coplanar match sets)")
     args = ap.parse_args()
 
     total = 0
     for k in range(args.n_scenes):
         total += build_scene(args.out, os.path.join(args.out, "index"),
                              f"scene{k:04d}", args.seed + 31 * k,
-                             n_cams=args.n_cams)
+                             n_cams=args.n_cams, cluttered=args.cluttered)
         if (k + 1) % 10 == 0:
             print(f"{k + 1}/{args.n_scenes} train scenes...", flush=True)
     vtotal = 0
     for k in range(args.n_val_scenes):
         vtotal += build_scene(args.out, os.path.join(args.out, "index_val"),
                               f"val{k:04d}", args.seed + 777_000 + 31 * k,
-                              n_cams=args.n_cams)
+                              n_cams=args.n_cams, cluttered=args.cluttered)
     print(f"wrote {args.n_scenes} train scenes ({total} pairs) + "
           f"{args.n_val_scenes} val scenes ({vtotal} pairs) to {args.out}")
 
